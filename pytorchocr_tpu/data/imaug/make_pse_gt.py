@@ -1,0 +1,70 @@
+"""PSE GT: progressively shrunk kernels (reference make_pse_gt.py).
+
+pyclipper-free: each kernel raster is the distance-transform threshold of
+the filled polygon (exact disk erosion), labeled per instance then
+binarized, matching the reference output contract:
+gt_text (largest kernel), gt_kernels (remaining kernel_num-1 maps), mask.
+"""
+
+import cv2
+import numpy as np
+
+from pytorchocr_tpu.utils import geometry
+
+__all__ = ["MakePseGt"]
+
+
+class MakePseGt:
+    def __init__(self, kernel_num=7, size=640, min_shrink_ratio=0.4, **kwargs):
+        self.kernel_num = kernel_num
+        self.min_shrink_ratio = min_shrink_ratio
+        self.size = size
+
+    def __call__(self, data):
+        image = data["image"]
+        text_polys = data["polys"]
+        ignore_tags = data["ignore_tags"]
+
+        h, w = image.shape[:2]
+        short_edge = min(h, w)
+        if short_edge < self.size:
+            scale = self.size / short_edge
+            image = cv2.resize(image, dsize=None, fx=scale, fy=scale)
+            text_polys = text_polys * scale
+
+        gt_kernels = []
+        for i in range(self.kernel_num):
+            rate = 1.0 - (1.0 - self.min_shrink_ratio) / (self.kernel_num - 1) * i
+            text_kernel, ignore_tags = self.generate_kernel(
+                image.shape[0:2], rate, text_polys, ignore_tags
+            )
+            gt_kernels.append(text_kernel)
+
+        training_mask = np.ones(image.shape[0:2], dtype="uint8")
+        for i in range(text_polys.shape[0]):
+            if ignore_tags[i]:
+                cv2.fillPoly(
+                    training_mask, text_polys[i].astype(np.int32)[np.newaxis, :, :], 0
+                )
+        gt_kernels = np.array(gt_kernels, dtype=np.float32)
+        gt_kernels[gt_kernels > 0] = 1
+
+        data["image"] = image
+        data["polys"] = text_polys
+        data["gt_text"] = gt_kernels[0]
+        data["gt_kernels"] = gt_kernels[1:]
+        data["mask"] = training_mask.astype("float32")
+        return data
+
+    @staticmethod
+    def generate_kernel(img_size, shrink_ratio, text_polys, ignore_tags=None):
+        h, w = img_size
+        text_kernel = np.zeros((h, w), dtype=np.int32)
+        for i, poly in enumerate(text_polys):
+            area = abs(geometry.polygon_area(poly))
+            perim = geometry.polygon_perimeter(poly)
+            distance = area * (1 - shrink_ratio * shrink_ratio) / (perim + 1e-6)
+            ok = geometry.rasterize_shrunk_polygon(text_kernel, poly, distance, i + 1)
+            if not ok and ignore_tags is not None:
+                ignore_tags[i] = True
+        return text_kernel, ignore_tags
