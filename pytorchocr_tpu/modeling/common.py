@@ -1,0 +1,185 @@
+"""Shared model blocks (reference pytocr/modeling/utils.py:5-127).
+
+flax.linen, NHWC, bf16-friendly: every block takes `dtype` (compute dtype)
+and keeps parameters in float32 (`param_dtype`), the standard TPU mixed-
+precision recipe — bf16 matmul/conv inputs hit the MXU at full rate while
+master weights and BN statistics stay in f32.
+"""
+
+from typing import Any, Callable, Optional, Sequence, Union
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch-style kaiming_normal(fan_out) for convs (reference inits)
+kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def make_divisible(v, divisor=8, min_value=None):
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def hard_sigmoid(x):
+    return nn.relu6(x + 3.0) / 6.0
+
+
+def hard_swish(x):
+    return x * hard_sigmoid(x)
+
+
+ACTS = {
+    "relu": nn.relu,
+    "relu6": nn.relu6,
+    "hardswish": hard_swish,
+    "hard_swish": hard_swish,
+    "hsigmoid": hard_sigmoid,
+    "hardsigmoid": hard_sigmoid,
+    "leakyrelu": lambda x: nn.leaky_relu(x, 0.01),
+    "gelu": nn.gelu,
+    "swish": nn.swish,
+    "sigmoid": nn.sigmoid,
+}
+
+
+class ConvBNAct(nn.Module):
+    """conv -> BN -> activation. NHWC."""
+
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    stride: Union[int, Sequence[int]] = 1
+    padding: Any = None  # None -> torch-style symmetric padding ks//2
+    groups: int = 1
+    dilation: int = 1
+    use_bias: bool = False
+    act: Optional[str] = "relu"
+    use_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = (
+            (self.kernel_size, self.kernel_size)
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        st = (self.stride, self.stride) if isinstance(self.stride, int) else tuple(self.stride)
+        if self.padding is None:
+            pad = [(d * (k - 1) // 2, d * (k - 1) // 2) for k, d in zip(ks, (self.dilation, self.dilation))]
+        elif isinstance(self.padding, int):
+            pad = [(self.padding, self.padding)] * 2
+        else:
+            pad = self.padding
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=ks,
+            strides=st,
+            padding=pad,
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=kaiming_normal,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="bn",
+            )(x)
+        if self.act is not None:
+            x = ACTS[self.act](x)
+        return x
+
+
+class SEModule(nn.Module):
+    """Squeeze-excitation (reference modeling/utils.py SEModule)."""
+
+    channels: int
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
+        s = nn.Conv(
+            self.channels // self.reduction,
+            (1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="fc1",
+        )(s)
+        s = nn.relu(s)
+        s = nn.Conv(
+            self.channels,
+            (1, 1),
+            use_bias=True,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="fc2",
+        )(s)
+        s = hard_sigmoid(s)
+        return x * s
+
+
+class DPModule(nn.Module):
+    """Depthwise + pointwise conv block (reference modeling/utils.py DPModule)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    act: str = "leakyrelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_ch = x.shape[-1]
+        x = ConvBNAct(
+            in_ch,
+            self.kernel_size,
+            self.stride,
+            groups=in_ch,
+            act=self.act,
+            dtype=self.dtype,
+            name="dw",
+        )(x, train)
+        x = ConvBNAct(
+            self.out_channels,
+            1,
+            1,
+            act=self.act,
+            dtype=self.dtype,
+            name="pw",
+        )(x, train)
+        return x
+
+
+def max_pool(x, window, strides, padding=(0, 0)):
+    """torch-style MaxPool2d on NHWC: explicit symmetric padding with -inf."""
+    if isinstance(window, int):
+        window = (window, window)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    pads = ((padding[0], padding[0]), (padding[1], padding[1]))
+    return nn.max_pool(x, window, strides=strides, padding=pads)
+
+
+def resize_nearest(x, scale):
+    """Nearest-neighbor upsample by integer scale on NHWC — implemented as
+    repeat (compiles to an efficient broadcast on TPU)."""
+    n, h, w, c = x.shape
+    x = jnp.repeat(x, scale, axis=1)
+    x = jnp.repeat(x, scale, axis=2)
+    return x

@@ -1,0 +1,115 @@
+"""PAN postprocess (reference pytocr/postprocess/pan_postprocess.py:10-113).
+
+Maps are NHWC (N, H/4, W/4, 6) = [text, kernel, emb x4].  Pixel aggregation
+uses the propagation op with embedding gate
+(pytorchocr_tpu/ops/propagate.py, replacing pa.pyx).
+"""
+
+import cv2
+import numpy as np
+
+from pytorchocr_tpu.ops.propagate import pa_np
+from pytorchocr_tpu.utils.geometry import order_points_clockwise
+
+
+class PANPostProcess:
+    def __init__(
+        self,
+        thresh=0.5,
+        box_thresh=0.85,
+        min_area=16,
+        min_kernel_area=2.6,
+        scale=4,
+        out_polygon=False,
+        **kwargs
+    ):
+        self.thresh = thresh
+        self.box_thresh = box_thresh
+        self.min_area = min_area
+        self.min_kernel_area = min_kernel_area / float(scale ** 2)
+        self.out_polygon = out_polygon
+        self.scale = scale
+
+    def __call__(self, outs_dict, shape_list):
+        import jax.numpy as jnp
+
+        pred = outs_dict["maps"]  # (N, H/4, W/4, 6)
+        pred = jnp.asarray(pred)
+        self.img_h = pred.shape[1] * 4
+        self.img_w = pred.shape[2] * 4
+        if self.scale != 4:
+            r = 4 // self.scale
+            pred = jnp.repeat(jnp.repeat(pred, r, axis=1), r, axis=2)
+
+        score = 1.0 / (1.0 + jnp.exp(-pred[..., 0]))
+        kernels = (pred[..., :2] > self.thresh).astype(jnp.float32)
+        text_mask = kernels[..., 0:1]
+        kernels = kernels.at[..., 1:2].set(kernels[..., 1:2] * text_mask)
+        emb = pred[..., 2:] * text_mask
+
+        score = np.asarray(score, dtype=np.float32)
+        kernels = np.asarray(kernels, dtype=np.uint8)
+        emb = np.asarray(emb, dtype=np.float32)
+
+        res_batch = []
+        for batch_index in range(pred.shape[0]):
+            boxes, scores = self.boxes_from_bitmap(
+                score[batch_index],
+                kernels[batch_index].transpose(2, 0, 1),  # (2, H, W)
+                emb[batch_index].transpose(2, 0, 1),  # (4, H, W)
+                shape_list[batch_index],
+            )
+            res_batch.append({"points": boxes, "scores": scores})
+        return res_batch
+
+    def boxes_from_bitmap(self, score, kernels, emb, shape):
+        label = pa_np(kernels, emb, self.min_kernel_area)
+        if self.scale != 1:
+            label = cv2.resize(
+                label.astype(np.int32),
+                (self.img_w, self.img_h),
+                interpolation=cv2.INTER_NEAREST,
+            )
+            score = cv2.resize(
+                score, (self.img_w, self.img_h), interpolation=cv2.INTER_NEAREST
+            )
+        return self.generate_box(score, label, shape)
+
+    def generate_box(self, score, label, shape):
+        src_h, src_w, ratio_h, ratio_w = shape
+        label_num = np.max(label) + 1
+
+        boxes = []
+        scores = []
+        for i in range(1, label_num):
+            ind = label == i
+            points = np.array(np.where(ind)).transpose((1, 0))[:, ::-1]
+
+            if points.shape[0] < self.min_area:
+                label[ind] = 0
+                continue
+            score_i = np.mean(score[ind])
+            if score_i < self.box_thresh:
+                label[ind] = 0
+                continue
+
+            if not self.out_polygon:
+                rect = cv2.minAreaRect(points)
+                bbox = cv2.boxPoints(rect)
+                bbox = order_points_clockwise(bbox)
+            else:
+                box_height = np.max(points[:, 1]) + 10
+                box_width = np.max(points[:, 0]) + 10
+                mask = np.zeros((box_height, box_width), dtype=np.uint8)
+                mask[points[:, 1], points[:, 0]] = 255
+                contours, _ = cv2.findContours(
+                    mask, cv2.RETR_EXTERNAL, cv2.CHAIN_APPROX_SIMPLE
+                )
+                bbox = np.squeeze(contours[0], 1)
+
+            bbox[:, 0] = np.clip(np.round(bbox[:, 0] / ratio_w), 0, src_w)
+            bbox[:, 1] = np.clip(np.round(bbox[:, 1] / ratio_h), 0, src_h)
+            boxes.append(bbox.astype(np.int16))
+            scores.append(score_i)
+        boxes = np.array(boxes, dtype=np.int16)
+        return boxes, scores

@@ -1,0 +1,135 @@
+"""TPU train/eval step factories.
+
+One jitted graph per task (SURVEY.md §7): the train step fuses
+forward + loss + backward + optimizer update + BN-stat update; the eval
+step is the forward in eval mode.  Batches are sharded over the mesh's
+"data" axis; state is replicated; buffers are donated.
+"""
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import freeze, unfreeze
+
+from .parallel.mesh import batch_sharding, replicated_sharding, shard_batch
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+
+def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
+    """Initialize params/batch_stats from an example batch (host numpy)."""
+    images = jnp.asarray(example_batch[0])
+    data = tuple(jnp.asarray(x) for x in example_batch[1:]) or None
+    variables = model.init(rng, images, data=data, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_frozen_mask(params, frozen_prefixes):
+    """optax.masked-style mask: False (no update) for frozen param subtrees
+    (DistillationModel freeze_params)."""
+    if not frozen_prefixes:
+        return None
+
+    def mask_subtree(path_prefix, tree):
+        frozen = any(path_prefix == p or path_prefix.startswith(p) for p in frozen_prefixes)
+        return jax.tree.map(lambda _: not frozen, tree)
+
+    return {k: mask_subtree(k, v) for k, v in params.items()}
+
+
+def make_train_step(model, loss_fn, tx, mesh, donate=True):
+    """Build the jitted train step.
+
+    batch is a tuple of arrays; batch[0] is the NHWC image tensor; the loss
+    consumes (preds, batch) with the reference's positional contract.
+    """
+
+    def step_fn(state: TrainState, batch):
+        images = batch[0]
+
+        def loss_inner(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                preds, mutated = model.apply(
+                    variables, images, data=batch, train=True, mutable=["batch_stats"]
+                )
+                new_bs = mutated["batch_stats"]
+            else:
+                preds = model.apply(variables, images, data=batch, train=True)
+                new_bs = state.batch_stats
+            losses = loss_fn(preds, batch)
+            return losses["loss"], (losses, new_bs)
+
+        (loss_val, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_inner, has_aux=True
+        )(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, losses
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh):
+    """Jitted eval forward.  Recompiles per input shape; DetResizeForTest
+    buckets keep the shape set small."""
+
+    def eval_fn(params, batch_stats, images):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        return model.apply(variables, images, train=False)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(eval_fn, in_shardings=(repl, repl, data), out_shardings=None)
+
+
+def to_device_batch(batch, mesh):
+    """numpy batch list -> tuple of sharded jnp arrays (non-array fields are
+    passed through untouched so losses relying on positions still work)."""
+    arrays = []
+    for item in batch:
+        if isinstance(item, np.ndarray) and item.dtype != object:
+            arrays.append(item)
+        else:
+            arrays.append(item)
+    device_items = []
+    for item in arrays:
+        if isinstance(item, np.ndarray) and item.dtype != object:
+            device_items.append(shard_batch(item, mesh))
+        else:
+            device_items.append(item)
+    return tuple(device_items)

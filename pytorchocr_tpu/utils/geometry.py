@@ -218,6 +218,10 @@ def order_points_clockwise(pts):
 # --------------------------------------------------------------------------
 
 
+def _cross2(a, b):
+    return a[0] * b[1] - a[1] * b[0]
+
+
 def _is_convex(poly):
     p = np.asarray(poly, dtype=np.float64)
     n = len(p)
@@ -226,7 +230,7 @@ def _is_convex(poly):
     cross = []
     for i in range(n):
         a, b, c = p[i], p[(i + 1) % n], p[(i + 2) % n]
-        cross.append(np.cross(b - a, c - b))
+        cross.append(_cross2(b - a, c - b))
     cross = np.array(cross)
     return bool(np.all(cross >= -1e-9) or np.all(cross <= 1e-9))
 
@@ -248,9 +252,9 @@ def _clip_sutherland_hodgman(subject, clip):
         edge = b - a
         input_list, output = output, []
         prev = input_list[-1]
-        prev_in = np.cross(edge, prev - a) >= 0
+        prev_in = _cross2(edge, prev - a) >= 0
         for cur in input_list:
-            cur_in = np.cross(edge, cur - a) >= 0
+            cur_in = _cross2(edge, cur - a) >= 0
             if cur_in:
                 if not prev_in:
                     output.append(_line_intersect(prev, cur, a, b))
@@ -303,6 +307,40 @@ def poly_intersection_area(poly_a, poly_b):
     if len(clipped) < 3:
         return 0.0
     return abs(polygon_area(np.array(clipped)))
+
+
+def _segments_properly_intersect(p1, p2, p3, p4):
+    d1 = _cross2(p4 - p3, p1 - p3)
+    d2 = _cross2(p4 - p3, p2 - p3)
+    d3 = _cross2(p2 - p1, p3 - p1)
+    d4 = _cross2(p2 - p1, p4 - p1)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def is_valid_simple_polygon(poly):
+    """shapely's is_valid & is_simple stand-in: >=3 distinct vertices,
+    nonzero area, no properly crossing non-adjacent edges."""
+    poly = np.asarray(poly, dtype=np.float64)
+    n = len(poly)
+    if n < 3:
+        return False
+    if abs(polygon_area(poly)) <= 0:
+        return False
+    for i in range(n):
+        a1, a2 = poly[i], poly[(i + 1) % n]
+        for j in range(i + 1, n):
+            # skip adjacent edges (shared vertex)
+            if j == i or (j + 1) % n == i or (i + 1) % n == j:
+                continue
+            b1, b2 = poly[j], poly[(j + 1) % n]
+            if _segments_properly_intersect(a1, a2, b1, b2):
+                return False
+    return True
+
+
+def poly_union_area(poly_a, poly_b):
+    inter = poly_intersection_area(poly_a, poly_b)
+    return abs(polygon_area(poly_a)) + abs(polygon_area(poly_b)) - inter
 
 
 def poly_iou(poly_a, poly_b):

@@ -1,0 +1,140 @@
+"""Checkpoint save/load (reference pytocr/utils/save_load.py:27-129).
+
+Orbax-backed: each checkpoint prefix (latest / best_accuracy / epoch_N) is a
+directory containing the train state pytree (params, batch_stats, opt_state,
+step) plus `global_state` {start_epoch, best_model, global_step} — the same
+policy surface as the reference's .pth files.  `pretrained_model` restores
+params only (finetune), with partial-tree tolerance.
+"""
+
+import json
+import os
+
+import jax
+import numpy as np
+
+from .logging import get_logger
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAVE_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+
+def _mkdir_if_not_exist(path):
+    os.makedirs(path, exist_ok=True)
+
+
+def _save_pytree(path, tree):
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(tree), force=True)
+
+
+def _restore_pytree(path, target=None):
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is not None:
+        return ckptr.restore(path, item=jax.device_get(target))
+    return ckptr.restore(path)
+
+
+def save_model(state, global_state, cfg, model_dir, logger=None,
+               is_best=False, prefix="pytorchocr_tpu"):
+    """Save train state + global_state under model_dir/prefix/."""
+    if jax.process_index() != 0:
+        return
+    logger = logger or get_logger()
+    _mkdir_if_not_exist(model_dir)
+    path = os.path.abspath(os.path.join(model_dir, prefix))
+    tree = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    _save_pytree(path, tree)
+    with open(os.path.join(path, "global_state.json"), "w") as f:
+        json.dump(global_state, f)
+    if is_best:
+        logger.info("save best model to {}".format(path))
+    else:
+        logger.info("save model in {}".format(path))
+
+
+def load_model(config, state, logger=None):
+    """Resume from Global.checkpoints or finetune from
+    Global.pretrained_model.  Returns (state, global_state)."""
+    logger = logger or get_logger()
+    global_config = config["Global"]
+    checkpoints = global_config.get("checkpoints")
+    pretrained_model = global_config.get("pretrained_model")
+    global_state = {}
+
+    if checkpoints:
+        path = os.path.abspath(checkpoints)
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = _restore_pytree(path, tree)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=jax.numpy.asarray(restored["step"]),
+        )
+        gs_path = os.path.join(path, "global_state.json")
+        if os.path.exists(gs_path):
+            with open(gs_path) as f:
+                global_state = json.load(f)
+        logger.info("resume from {}".format(checkpoints))
+    elif pretrained_model:
+        state = load_pretrained_params(state, pretrained_model, logger)
+    else:
+        logger.info("train from scratch")
+    return state, global_state
+
+
+def _merge_trees(target, source, path=""):
+    """Copy matching-by-name leaves from source into target (partial load
+    with `module.`-style reconciliation replaced by tree paths)."""
+    logger = get_logger()
+    if isinstance(target, dict) and isinstance(source, dict):
+        out = {}
+        for k, v in target.items():
+            if k in source:
+                out[k] = _merge_trees(v, source[k], path + "/" + str(k))
+            else:
+                logger.warning("pretrained missing key %s", path + "/" + str(k))
+                out[k] = v
+        return out
+    t_arr = np.asarray(target)
+    s_arr = np.asarray(source)
+    if t_arr.shape != s_arr.shape:
+        logger.warning(
+            "shape mismatch at %s: %s vs %s — keeping init",
+            path, t_arr.shape, s_arr.shape,
+        )
+        return target
+    return source
+
+
+def load_pretrained_params(state, path, logger=None):
+    logger = logger or get_logger()
+    path = os.path.abspath(path)
+    assert os.path.exists(path), "The {} does not exist!".format(path)
+    restored = _restore_pytree(path)
+    src_params = restored.get("params", restored)
+    new_params = _merge_trees(jax.device_get(state.params), src_params)
+    new_state = state.replace(params=new_params)
+    if "batch_stats" in restored and state.batch_stats:
+        new_state = new_state.replace(
+            batch_stats=_merge_trees(
+                jax.device_get(state.batch_stats), restored["batch_stats"]
+            )
+        )
+    logger.info("load pretrain successful from {}".format(path))
+    return new_state

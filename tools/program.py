@@ -1,0 +1,358 @@
+"""Training driver (reference tools/program.py rebuilt TPU-first).
+
+The hot loop is one jitted train step (forward+loss+backward+update fused);
+batches stream from the threaded host loader and are sharded over the
+mesh's data axis.  Eval / checkpoint / logging policies match the
+reference (tools/program.py:160-418): eval_epoch_step gating, HighestAcc /
+FixedEpochStep checkpointing, median-smoothed stats windows, rank-0-only
+side effects.
+"""
+
+import os
+import random
+import sys
+import time
+
+__dir__ = os.path.dirname(os.path.abspath(__file__))
+sys.path.append(os.path.abspath(os.path.join(__dir__, "..")))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorchocr_tpu.utils import (
+    ArgsParser,
+    TrainingStats,
+    get_logger,
+    load_config,
+    merge_config,
+    print_dict,
+    save_config,
+)
+from pytorchocr_tpu.utils.save_load import save_model
+from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch
+from pytorchocr_tpu.trainer import make_eval_step, make_train_step
+
+SUPPORTED_ALGS = [
+    "DB", "PSE", "PAN", "CRNN", "STARNet", "CLS", "Distillation", "SLANet",
+]
+
+
+def set_random_seed(seed, deterministic=True):
+    """Seed python/numpy; JAX PRNG keys are derived from the same seed by
+    callers (reference tools/program.py:138-157)."""
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+class TensorboardWriter:
+    """Minimal TF-summary writer; no-op if tensorflow is unavailable."""
+
+    def __init__(self, logdir):
+        try:
+            import tensorflow as tf
+
+            self._tf = tf
+            self._writer = tf.summary.create_file_writer(logdir)
+        except Exception:
+            self._tf = None
+            self._writer = None
+
+    def add_scalar(self, tag, value, step):
+        if self._writer is None:
+            return
+        with self._writer.as_default():
+            self._tf.summary.scalar(tag, float(value), step=int(step))
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
+
+
+def preprocess(is_train=False):
+    args = ArgsParser().parse_args()
+    config = load_config(args.config)
+    merge_config(config, args.opt)
+
+    if is_train:
+        save_model_dir = config["Global"]["save_model_dir"]
+        os.makedirs(save_model_dir, exist_ok=True)
+        save_config(config, os.path.join(save_model_dir, "config.yml"))
+        log_file = "{}/train.log".format(save_model_dir)
+    else:
+        log_file = None
+    logger = get_logger(name="root", log_file=log_file)
+
+    alg = config["Architecture"]["algorithm"]
+    assert alg in SUPPORTED_ALGS, "algorithm must be in {}".format(SUPPORTED_ALGS)
+
+    # multi-host TPU init (single-process is a no-op)
+    if config["Global"].get("distributed", False) and (
+        "COORDINATOR_ADDRESS" in os.environ or jax.process_count() > 1
+    ):
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+    config["Global"]["distributed"] = jax.process_count() > 1
+
+    if config["Global"].get("use_tensorboard", False) and jax.process_index() == 0:
+        tsb_path = "{}/tensorboard/".format(config["Global"]["save_model_dir"])
+        os.makedirs(tsb_path, exist_ok=True)
+        tsb_writer = TensorboardWriter(tsb_path)
+    else:
+        tsb_writer = None
+
+    rng = set_random_seed(config["Global"].get("seed", 2022))
+    print_dict(config, logger)
+    logger.info(
+        "train with jax {} on {} device(s) ({} process(es))".format(
+            jax.__version__, jax.device_count(), jax.process_count()
+        )
+    )
+    return config, rng, logger, tsb_writer
+
+
+def _device_batch(batch, mesh):
+    """numpy batch list -> tuple with ndarray fields sharded on device."""
+    out = []
+    for item in batch:
+        if isinstance(item, np.ndarray) and item.dtype != object and item.dtype.kind in "fiub":
+            out.append(shard_batch(jnp.asarray(item), mesh))
+        else:
+            out.append(item)
+    return tuple(out)
+
+
+def train(
+    config,
+    mesh,
+    train_dataloader,
+    valid_dataloader,
+    model,
+    loss_class,
+    tx,
+    lr_schedule,
+    state,
+    global_state,
+    post_process_class,
+    eval_class,
+    logger,
+    tsb_writer=None,
+):
+    global_config = config["Global"]
+    cal_metric_during_train = global_config.get("cal_metric_during_train", False)
+    log_smooth_window = global_config["log_smooth_window"]
+    epoch_num = global_config["epoch_num"]
+    print_batch_step = global_config["print_batch_step"]
+    eval_epoch_step = global_config["eval_epoch_step"]
+
+    main_indicator = eval_class.main_indicator
+    if len(global_state) > 0:
+        best_model_dict = global_state["best_model"]
+        start_epoch = global_state["start_epoch"]
+        global_step = global_state["global_step"]
+    else:
+        best_model_dict = {main_indicator: 0}
+        start_epoch = 0
+        global_step = 0
+
+    start_eval_step = 0
+    if isinstance(eval_epoch_step, (list, tuple)) and len(eval_epoch_step) >= 2:
+        start_eval_step = eval_epoch_step[0]
+        eval_epoch_step = eval_epoch_step[1]
+        if jax.process_index() == 0:
+            if valid_dataloader is None or len(valid_dataloader) == 0:
+                logger.info(
+                    "No Images in eval dataset, evaluation during training "
+                    "will be disabled"
+                )
+                start_eval_step = 1e111
+            logger.info(
+                "During the training process, after the {}th epoch, an "
+                "evaluation is run every {} epochs".format(
+                    start_eval_step, eval_epoch_step
+                )
+            )
+
+    ckpt_save_type = global_config["ckpt_save_type"]
+    save_epoch_step = global_config["save_epoch_step"]
+    save_model_dir = global_config["save_model_dir"]
+    os.makedirs(save_model_dir, exist_ok=True)
+    train_stats = TrainingStats(log_smooth_window, ["lr"])
+
+    model_type = config["Architecture"].get("model_type", None)
+
+    train_step = make_train_step(model, loss_class, tx, mesh)
+    eval_step = make_eval_step(model, mesh)
+
+    for epoch in range(start_epoch, epoch_num):
+        train_dataloader.set_epoch(epoch)
+        train_reader_cost = 0.0
+        train_run_cost = 0.0
+        total_samples = 0
+        reader_start = time.time()
+        for idx, batch_np in enumerate(train_dataloader):
+            batch = _device_batch(batch_np, mesh)
+            train_reader_cost += time.time() - reader_start
+            lr = float(lr_schedule(global_step))
+
+            train_start = time.time()
+            state, losses = train_step(state, batch)
+            # block for accurate timing at log steps only? keep async; the
+            # stats fetch below synchronizes.
+            stats = {k: float(np.asarray(v).mean()) for k, v in losses.items()}
+            train_run_cost += time.time() - train_start
+            total_samples += len(batch_np[0])
+
+            stats["lr"] = lr
+            train_stats.update(stats)
+
+            if cal_metric_during_train and model_type != "det":
+                preds_eval = eval_step(state.params, state.batch_stats, batch[0])
+                if model_type == "table":
+                    post_result = post_process_class(preds_eval, batch_np)
+                else:
+                    post_result = post_process_class(preds_eval, batch_np[1])
+                eval_class(post_result, batch_np)
+                metric = eval_class.get_metric()
+                train_stats.update(metric)
+
+            if jax.process_index() == 0 and tsb_writer is not None:
+                for k, v in train_stats.get().items():
+                    tsb_writer.add_scalar("TRAIN/{}".format(k), v, global_step)
+                tsb_writer.add_scalar("TRAIN/lr", lr, global_step)
+
+            if jax.process_index() == 0 and (
+                (global_step > 0 and global_step % print_batch_step == 0)
+                or (idx == len(train_dataloader) - 1)
+            ):
+                logs = train_stats.log()
+                strs = (
+                    "epoch: [{}/{}], iter: {}, {}, reader_cost: {:.5f} s, "
+                    "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}".format(
+                        epoch + 1,
+                        epoch_num,
+                        global_step,
+                        logs,
+                        train_reader_cost / print_batch_step,
+                        (train_reader_cost + train_run_cost) / print_batch_step,
+                        total_samples,
+                        total_samples / (train_reader_cost + train_run_cost + 1e-9),
+                    )
+                )
+                logger.info(strs)
+                train_reader_cost = 0.0
+                train_run_cost = 0.0
+                total_samples = 0
+            global_step += 1
+            reader_start = time.time()
+
+        # ------------------------------------------------------------------
+        # eval + checkpoint (rank-0 policy mirrors reference :331-410)
+        # ------------------------------------------------------------------
+        if (
+            jax.process_index() == 0
+            and epoch + 1 > start_eval_step
+            and (epoch - start_eval_step + 1) % eval_epoch_step == 0
+        ):
+            cur_metric = evaluate(
+                state,
+                eval_step,
+                mesh,
+                valid_dataloader,
+                post_process_class,
+                eval_class,
+                model_type,
+            )
+            cur_metric_str = "cur metric, {}".format(
+                ", ".join(["{}: {}".format(k, v) for k, v in cur_metric.items()])
+            )
+            logger.info(cur_metric_str)
+            if tsb_writer is not None:
+                for k, v in cur_metric.items():
+                    if isinstance(v, (float, int)):
+                        tsb_writer.add_scalar("EVAL/{}".format(k), v, global_step)
+
+            if cur_metric[main_indicator] >= best_model_dict[main_indicator]:
+                best_model_dict.update(cur_metric)
+                best_model_dict["best_model_epoch"] = epoch + 1
+                global_state["start_epoch"] = epoch
+                global_state["best_model"] = best_model_dict
+                global_state["global_step"] = global_step
+                save_model(
+                    state, global_state, config, save_model_dir, logger,
+                    is_best=True, prefix="best_accuracy",
+                )
+            best_str = "best metric, {}".format(
+                ", ".join(["{}: {}".format(k, v) for k, v in best_model_dict.items()])
+            )
+            logger.info(best_str)
+            if tsb_writer is not None:
+                tsb_writer.add_scalar(
+                    "EVAL/best_{}".format(main_indicator),
+                    best_model_dict[main_indicator],
+                    global_step,
+                )
+
+        if jax.process_index() == 0:
+            global_state["start_epoch"] = epoch
+            global_state["best_model"] = best_model_dict
+            global_state["global_step"] = global_step
+            save_model(
+                state, global_state, config, save_model_dir, logger,
+                is_best=False, prefix="latest",
+            )
+            if (
+                ckpt_save_type == "FixedEpochStep"
+                and epoch + 1 > 0
+                and (epoch + 1) % save_epoch_step == 0
+            ):
+                save_model(
+                    state, global_state, config, save_model_dir, logger,
+                    is_best=False, prefix="epoch_{}".format(epoch),
+                )
+
+    if jax.process_index() == 0:
+        best_str = "best metric, {}".format(
+            ", ".join(["{}: {}".format(k, v) for k, v in best_model_dict.items()])
+        )
+        logger.info(best_str)
+        if tsb_writer is not None:
+            tsb_writer.close()
+    return state
+
+
+def evaluate(
+    state,
+    eval_step,
+    mesh,
+    valid_dataloader,
+    post_process_class,
+    eval_class,
+    model_type=None,
+):
+    """Eval loop (reference tools/program.py:421-473)."""
+    total_frame = 0.0
+    total_time = 0.0
+    for idx, batch_np in enumerate(valid_dataloader):
+        images = shard_batch(jnp.asarray(batch_np[0]), mesh)
+        start = time.time()
+        if model_type == "table":
+            preds = eval_step(state.params, state.batch_stats, images)
+        else:
+            preds = eval_step(state.params, state.batch_stats, images)
+        jax.block_until_ready(preds)
+        total_time += time.time() - start
+        if model_type == "table":
+            post_result = post_process_class(preds, batch_np)
+            eval_class(post_result, batch_np)
+        else:
+            post_result = post_process_class(preds, batch_np[1])
+            eval_class(post_result, batch_np)
+        total_frame += len(batch_np[0])
+    metric = eval_class.get_metric()
+    metric["fps"] = total_frame / max(total_time, 1e-9)
+    return metric
