@@ -37,7 +37,7 @@ def region_wise_random_select(regions, max_size):
     selected_values = []
     for index in selected_index:
         axis = regions[index]
-        selected_values.append(int(np.random.choice(axis, size=1)))
+        selected_values.append(int(np.random.choice(axis)))
     return min(selected_values), max(selected_values)
 
 

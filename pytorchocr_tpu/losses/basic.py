@@ -13,11 +13,15 @@ EPS = 1e-6
 
 
 def bce(pred, gt):
-    """Elementwise binary cross entropy on probabilities (torch
-    F.binary_cross_entropy semantics, log clamp at -100)."""
-    log_p = jnp.clip(jnp.log(jnp.clip(pred, 1e-44, None)), -100.0, None)
-    log_1p = jnp.clip(jnp.log(jnp.clip(1.0 - pred, 1e-44, None)), -100.0, None)
-    return -(gt * log_p + (1.0 - gt) * log_1p)
+    """Elementwise binary cross entropy on probabilities.
+
+    Probabilities are clamped to [1e-6, 1-1e-6] BEFORE the log so both the
+    value and the gradient stay finite when a sigmoid saturates to exactly
+    0/1 in float32 (torch's BCE bounds the loss at -log via clamp -100; the
+    clamp here additionally zeroes the gradient in the saturated region,
+    preventing inf*0 NaNs in the backward pass)."""
+    p = jnp.clip(pred, 1e-6, 1.0 - 1e-6)
+    return -(gt * jnp.log(p) + (1.0 - gt) * jnp.log1p(-p))
 
 
 def balance_loss(

@@ -37,6 +37,15 @@ def replicated_sharding(mesh):
     return NamedSharding(mesh, P())
 
 
+def shard_or_replicate(x, mesh):
+    """Shard the batch axis when divisible by the data-axis size, otherwise
+    replicate (det eval runs batch-size 1)."""
+    n_data = mesh.shape["data"]
+    if x.shape[0] % n_data == 0:
+        return jax.device_put(x, batch_sharding(mesh))
+    return jax.device_put(x, replicated_sharding(mesh))
+
+
 def shard_batch(batch, mesh):
     """Device-put a pytree of host numpy arrays with the batch axis sharded
     over the data mesh axis.  On multi-host, each process contributes its

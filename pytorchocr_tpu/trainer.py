@@ -112,9 +112,10 @@ def make_eval_step(model, mesh):
             variables["batch_stats"] = batch_stats
         return model.apply(variables, images, train=False)
 
-    repl = replicated_sharding(mesh)
-    data = batch_sharding(mesh)
-    return jax.jit(eval_fn, in_shardings=(repl, repl, data), out_shardings=None)
+    # images sharding is left to the caller: det eval runs batch-1 (can't
+    # shard over data), rec/cls eval shards when divisible — see
+    # shard_or_replicate().
+    return jax.jit(eval_fn)
 
 
 def to_device_batch(batch, mesh):

@@ -31,7 +31,7 @@ from pytorchocr_tpu.utils import (
     save_config,
 )
 from pytorchocr_tpu.utils.save_load import save_model
-from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch
+from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch, shard_or_replicate
 from pytorchocr_tpu.trainer import make_eval_step, make_train_step
 
 SUPPORTED_ALGS = [
@@ -338,7 +338,7 @@ def evaluate(
     total_frame = 0.0
     total_time = 0.0
     for idx, batch_np in enumerate(valid_dataloader):
-        images = shard_batch(jnp.asarray(batch_np[0]), mesh)
+        images = shard_or_replicate(jnp.asarray(batch_np[0]), mesh)
         start = time.time()
         if model_type == "table":
             preds = eval_step(state.params, state.batch_stats, images)
