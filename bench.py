@@ -1,0 +1,78 @@
+"""Headline benchmark: DB-ResNet18 detection forward @ 736x1280, bf16, one
+TPU chip — imgs/sec/chip (BASELINE.md north-star metric).
+
+The TPU here is reached through a tunnel with ~30ms per-call RTT, so the
+benchmark loops ITERS forwards ON DEVICE inside a single jit call (a
+fori_loop whose input is perturbed per-iteration so XLA cannot hoist the
+loop body) and fetches one scalar — timing measures device compute, not
+tunnel latency.
+
+Prints ONE JSON line:
+  {"metric": "det_db_r18_imgs_per_sec_736", "value": N, "unit": "imgs/s",
+   "vs_baseline": N / BASELINE_TRT_FP16_FPS}
+
+BASELINE_TRT_FP16_FPS: the reference repo publishes NO speed numbers
+(SURVEY.md §6).  Published DBNet-r18 TensorRT-fp16 numbers at 736px on
+T4-class GPUs cluster around ~50 imgs/s, so 50.0 is used as the baseline;
+the driver target is 3x => vs_baseline >= 3.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TRT_FP16_FPS = 50.0
+H, W = 736, 1280
+BATCH = 8
+ITERS = 12
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_db_model
+
+    model = _build_db_model(jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+
+    @jax.jit
+    def forward_loop(variables, images):
+        def body(i, acc):
+            x = images + (i.astype(jnp.float32) * 1e-9)  # defeat hoisting
+            m = model.apply(variables, x, train=False)["maps"]
+            return acc + m.astype(jnp.float32).mean()
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+
+    # compile + warm
+    float(forward_loop(variables, images))
+    float(forward_loop(variables, images))
+
+    times = []
+    for _ in range(3):
+        start = time.perf_counter()
+        float(forward_loop(variables, images))
+        times.append(time.perf_counter() - start)
+
+    elapsed = min(times)
+    imgs_per_sec = BATCH * ITERS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "det_db_r18_imgs_per_sec_736",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/s",
+                "vs_baseline": round(imgs_per_sec / BASELINE_TRT_FP16_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
