@@ -58,6 +58,8 @@ class ConvBNAct(nn.Module):
     use_bias: bool = False
     act: Optional[str] = "relu"
     use_bn: bool = True
+    bn_eps: float = 1e-5
+    bn_momentum: float = 0.9
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,8 +92,8 @@ class ConvBNAct(nn.Module):
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
                 name="bn",

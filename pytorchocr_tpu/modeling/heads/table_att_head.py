@@ -1,0 +1,125 @@
+"""SLANet table head (reference pytocr/modeling/heads/table_att_head.py).
+
+The 501-step GRU/LSTM attention decode is a single nn.scan (one fused XLA
+while-loop on TPU) in both modes: teacher forcing at train, greedy argmax
+feedback at eval.  The loop-invariant i2h projection of the feature map is
+computed ONCE outside the scan (the reference recomputes it every step).
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["SLAHead"]
+
+
+class _DecodeStep(nn.Module):
+    hidden_size: int
+    num_embeddings: int
+    loc_reg_num: int
+    use_gru: bool
+    teacher_forcing: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, feats, feats_proj, token):
+        rnn_state, prev_char = carry
+        char = token if self.teacher_forcing else prev_char
+        onehot = jax.nn.one_hot(char, self.num_embeddings, dtype=feats.dtype)
+
+        # attention over spatial positions
+        hidden = rnn_state if self.use_gru else rnn_state[1]
+        prev_proj = nn.Dense(
+            self.hidden_size, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="h2h",
+        )(hidden)[:, None, :]
+        e = nn.Dense(1, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="score")(jnp.tanh(feats_proj + prev_proj))
+        alpha = nn.softmax(e.astype(jnp.float32), axis=1).astype(feats.dtype)
+        context = jnp.sum(alpha * feats, axis=1)  # (N, C)
+        concat_context = jnp.concatenate([context, onehot], axis=1)
+
+        if self.use_gru:
+            cell = nn.GRUCell(self.hidden_size, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="rnn")
+        else:
+            cell = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype,
+                                        param_dtype=jnp.float32, name="rnn")
+        new_state, output = cell(rnn_state, concat_context)
+
+        s = nn.Dense(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="structure_fc1")(output)
+        structure_step = nn.Dense(
+            self.num_embeddings, dtype=self.dtype, param_dtype=jnp.float32,
+            name="structure_fc2",
+        )(s).astype(jnp.float32)
+        l = nn.Dense(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="loc_fc1")(output)
+        loc_step = nn.sigmoid(
+            nn.Dense(self.loc_reg_num, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="loc_fc2")(l).astype(jnp.float32)
+        )
+
+        next_char = (
+            token if self.teacher_forcing else jnp.argmax(structure_step, axis=1)
+        )
+        return (new_state, next_char), (structure_step, loc_step)
+
+
+class SLAHead(nn.Module):
+    in_channels: int
+    hidden_size: int
+    out_channels: int = 30
+    max_text_length: int = 500
+    loc_reg_num: int = 4
+    use_gru: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, targets=None, train: bool = False):
+        n, h, w, c = x.shape
+        feats = x.reshape(n, h * w, c)
+        feats_proj = nn.Dense(
+            self.hidden_size, use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name="i2h",
+        )(feats)
+
+        steps = self.max_text_length + 1
+        teacher = bool(train and targets is not None)
+        if teacher:
+            structure = jnp.asarray(targets[1]).astype(jnp.int32)  # batch[1]
+            tokens = structure[:, :steps]
+        else:
+            tokens = jnp.zeros((n, steps), jnp.int32)
+
+        if self.use_gru:
+            init_state = jnp.zeros((n, self.hidden_size), feats.dtype)
+        else:
+            init_state = (
+                jnp.zeros((n, self.hidden_size), feats.dtype),
+                jnp.zeros((n, self.hidden_size), feats.dtype),
+            )
+        init_char = jnp.zeros((n,), jnp.int32)
+
+        Scan = nn.scan(
+            _DecodeStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, 1),
+            out_axes=1,
+        )
+        (final_state, _), (structure_preds, loc_preds) = Scan(
+            hidden_size=self.hidden_size,
+            num_embeddings=self.out_channels,
+            loc_reg_num=self.loc_reg_num,
+            use_gru=self.use_gru,
+            teacher_forcing=teacher,
+            dtype=self.dtype,
+            name="decode",
+        )((init_state, init_char), feats, feats_proj, tokens)
+
+        if not train:
+            structure_preds = nn.softmax(structure_preds, axis=-1)
+        return {"structure_probs": structure_preds, "loc_preds": loc_preds}
