@@ -1,0 +1,85 @@
+"""Shared deploy runtime: checkpoint loading + jitted/AOT executables.
+
+Replaces the reference's TensorRT engine layer (deploy/common.py,
+deploy/trt_utils.py): instead of ONNX export + TRT engines + a pycuda
+normalize kernel, inference runs one jitted XLA executable per input-shape
+bucket; `aot_compile` lowers and compiles ahead of time, and
+`export_serialized` emits a portable serialized executable via jax.export.
+The fused uint8->normalized-float preprocessing (the reference's custom CUDA
+kernel, trt_utils.py:33-60) is part of the jitted graph here — XLA fuses it.
+"""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorchocr_tpu.modeling import build_model
+from pytorchocr_tpu.utils.save_load import _restore_pytree
+
+
+def load_variables(ckpt_path):
+    """Load {params, batch_stats} from an orbax checkpoint directory."""
+    restored = _restore_pytree(os.path.abspath(ckpt_path))
+    variables = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        variables["batch_stats"] = restored["batch_stats"]
+    return variables
+
+
+def build_infer_model(config, dtype=jnp.bfloat16):
+    """Architecture -> eval-mode model (bf16 compute by default on TPU)."""
+    return build_model(config["Architecture"], dtype=dtype)
+
+
+class JitRunner:
+    """Per-shape-cached jitted forward with optional fused normalization.
+
+    mean/std are folded into the graph so the host passes raw uint8/float
+    HWC images (the device does /255, -mean, /std — a few fused VPU ops).
+    """
+
+    def __init__(self, model, variables, mean=None, std=None, scale=1.0 / 255.0):
+        self.model = model
+        self.variables = variables
+        if mean is not None:
+            self.mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
+            self.std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
+        else:
+            self.mean = None
+            self.std = None
+        self.scale = scale
+
+        def forward(variables, images):
+            x = images.astype(jnp.float32)
+            if self.mean is not None:
+                x = (x * self.scale - self.mean) / self.std
+            return self.model.apply(variables, x, train=False)
+
+        self._jitted = jax.jit(forward)
+
+    def __call__(self, images):
+        return self._jitted(self.variables, jnp.asarray(images))
+
+
+def aot_compile(fn, *example_args):
+    """AOT lower+compile an executable for fixed shapes (replaces the
+    reference's onnx2trt notebook flow)."""
+    return jax.jit(fn).lower(*example_args).compile()
+
+
+def export_serialized(fn, *example_args):
+    """Serialize a compiled function with jax.export (portable artifact,
+    replaces .onnx/.trt files).  Returns bytes."""
+    from jax import export as jax_export
+
+    exported = jax_export.export(jax.jit(fn))(*example_args)
+    return exported.serialize()
+
+
+def load_serialized(blob):
+    from jax import export as jax_export
+
+    return jax_export.deserialize(blob).call

@@ -1,0 +1,107 @@
+"""Detection inference CLI (reference deploy/pytorch/infer_det.py).
+
+Usage:
+  python deploy/infer_det.py --config configs/det/det_r18_db.yml \
+      --model_path output/det/det_r18_db/best_accuracy \
+      --img_path imgs/ --out_dir output/
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+__dir__ = os.path.dirname(os.path.abspath(__file__))
+sys.path.append(__dir__)
+sys.path.append(os.path.abspath(os.path.join(__dir__, "..")))
+
+import cv2
+import numpy as np
+
+from pytorchocr_tpu.data import create_operators, transform
+from pytorchocr_tpu.postprocess import build_post_process
+from pytorchocr_tpu.utils.utility import sort_boxes
+from common import JitRunner, build_infer_model, load_variables
+from utils import draw_det_res, load_config
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="pytorchocr_tpu det_model infer")
+    parser.add_argument("--config", type=str, help="configuration file to use")
+    parser.add_argument("--model_path", type=str, help="checkpoint dir to use")
+    parser.add_argument("--img_path", type=str, help="test img-path or img-dir")
+    parser.add_argument("--show", action="store_true", help="show results")
+    parser.add_argument("--out_dir", type=str, help="output directory")
+    return parser.parse_args()
+
+
+class Deter:
+    def __init__(self, det_cfg, det_ckpt):
+        det_cfg = load_config(det_cfg)
+        det_cfg["Global"]["distributed"] = False
+        model = build_infer_model(det_cfg)
+        variables = load_variables(det_ckpt)
+        self.runner = JitRunner(model, variables)
+        self.det_post_process_class = build_post_process(
+            det_cfg["PostProcess"], det_cfg["Global"]
+        )
+        # rebuild Eval ops minus label ops, KeepKeys -> [image, shape]
+        det_transforms = []
+        self.det_img_mode = "RGB"
+        for op in det_cfg["Eval"]["dataset"]["transforms"]:
+            op_name = list(op)[0]
+            if "DecodeImage" in op_name:
+                self.det_img_mode = op[op_name]["img_mode"]
+                continue
+            if "Label" in op_name:
+                continue
+            if op_name == "KeepKeys":
+                op[op_name]["keep_keys"] = ["image", "shape"]
+            det_transforms.append(op)
+        self.det_ops = create_operators(det_transforms, det_cfg["Global"])
+
+    def run(self, img_path):
+        img = cv2.imdecode(np.fromfile(str(img_path), dtype=np.uint8), cv2.IMREAD_COLOR)
+        if self.det_img_mode == "RGB":
+            det_img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        else:
+            det_img = img.copy()
+        det_batch = transform({"image": det_img}, self.det_ops)
+        det_img = det_batch[0][None]  # (1, H, W, C)
+        det_shape_list = np.expand_dims(det_batch[1], axis=0)
+        det_preds = self.runner(det_img)
+        det_post_result = self.det_post_process_class(det_preds, det_shape_list)
+        return sort_boxes(det_post_result[0]["points"])
+
+
+def main():
+    args = parse_args()
+    deter = Deter(args.config, args.model_path)
+
+    assert os.path.exists(args.img_path), "img_path not exists"
+    img_paths = []
+    if os.path.isfile(args.img_path):
+        img_paths.append(Path(args.img_path))
+    else:
+        for img_path in Path(args.img_path).glob("*.[jp][pn]g"):
+            img_paths.append(img_path)
+
+    out_dir = Path(args.out_dir or "./output")
+    out_dir.mkdir(exist_ok=True, parents=True)
+
+    for img_path in img_paths:
+        boxes = deter.run(str(img_path))
+        save_txt_path = out_dir.joinpath("res_" + str(img_path.stem) + ".txt")
+        with open(str(save_txt_path), "w", encoding="UTF-8") as fp:
+            for box in boxes:
+                box = [str(coor) for coor in np.asarray(box).reshape(-1).tolist()]
+                fp.write(",".join(box) + "\n")
+        save_img_path = out_dir.joinpath("res_" + str(img_path.stem) + ".jpg")
+        res_img = draw_det_res(boxes, str(img_path), str(save_img_path))
+        if args.show:
+            cv2.imshow("det_res", res_img)
+            cv2.waitKey(0)
+
+
+if __name__ == "__main__":
+    main()

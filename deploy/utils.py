@@ -1,0 +1,71 @@
+"""Deploy-side helpers: config loading re-export + result drawing
+(reference deploy/utils.py).  Fonts: pass --font_path for CJK text; falls
+back to PIL's default bitmap font."""
+
+import cv2
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from pytorchocr_tpu.utils.config import load_config, merge_config  # noqa: F401
+
+
+def _font(font_path, size):
+    if font_path:
+        try:
+            return ImageFont.truetype(font_path, size, encoding="UTF-8")
+        except Exception:
+            pass
+    try:
+        return ImageFont.load_default(size)
+    except TypeError:  # older PIL
+        return ImageFont.load_default()
+
+
+def draw_det_res(dt_boxes, img_path, save_path):
+    img = cv2.imdecode(np.fromfile(img_path, dtype=np.uint8), cv2.IMREAD_COLOR)
+    if len(dt_boxes) > 0:
+        for box in dt_boxes:
+            box = np.asarray(box).astype(np.int32).reshape((-1, 1, 2))
+            cv2.polylines(img, [box], True, color=(255, 255, 0), thickness=2)
+    cv2.imwrite(save_path, img)
+    print("The detected Image saved in {}".format(save_path))
+    return img
+
+
+def draw_rec_res(text, prob, img_path, save_path, font_path=None):
+    pilimg = Image.open(str(img_path)).convert("RGB")
+    w, h = pilimg.size
+    draw = ImageDraw.Draw(pilimg)
+    font = _font(font_path, int(max(min(30, h - 5), 10)))
+    draw.text((2, 2), "{},{}".format(text, prob), (0, 0, 255), font=font)
+    pilimg.save(save_path)
+    img = cv2.cvtColor(np.array(pilimg), cv2.COLOR_RGB2BGR)
+    print("The Rec_res Image saved in {}".format(save_path))
+    return img
+
+
+def draw_cls_res(pred_cls, prob, img_path, save_path, font_path=None):
+    return draw_rec_res(pred_cls, prob, img_path, save_path, font_path)
+
+
+def draw_ocr_res(ocr_res, img_path, save_path, font_path=None):
+    img = cv2.imdecode(np.fromfile(img_path, dtype=np.uint8), cv2.IMREAD_COLOR)
+    if len(ocr_res) > 0:
+        for cur_res in ocr_res:
+            ori_box, text, prob = cur_res
+            box = np.asarray(ori_box).astype(np.int32).reshape((-1, 1, 2))
+            cv2.polylines(img, [box], True, color=(255, 255, 0), thickness=2)
+            pilimg = Image.fromarray(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            draw = ImageDraw.Draw(pilimg)
+            h = min(cv2.minAreaRect(box.reshape((-1, 2)))[1])
+            font = _font(font_path, int(max(min(30, h - 5), 10)))
+            draw.text(
+                (int(ori_box[0][0]), max(0, int(ori_box[0][1]) - 10)),
+                "{},{}".format(text, prob),
+                (0, 0, 255),
+                font=font,
+            )
+            img = cv2.cvtColor(np.array(pilimg), cv2.COLOR_RGB2BGR)
+    cv2.imwrite(save_path, img)
+    print("The OCR_res Image saved in {}".format(save_path))
+    return img

@@ -1,0 +1,169 @@
+"""Deploy layer: checkpoint round-trip + Deter/Recer/Clser/OCRer pipeline on
+synthetic images (untrained weights — structure/shape checks only)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "deploy")))
+
+from pytorchocr_tpu.modeling import build_model
+from pytorchocr_tpu.optimizer import build_optimizer
+from pytorchocr_tpu.trainer import create_train_state
+from pytorchocr_tpu.utils.config import load_config
+from pytorchocr_tpu.utils.save_load import save_model
+
+from synth import make_det_dataset, make_rec_dataset
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _write_cfg(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+DET_CFG = """
+Global:
+  distributed: False
+  seed: 1
+Architecture:
+  model_type: det
+  algorithm: DB
+  Transform:
+  Backbone: {name: ResNet, layers: 18}
+  Neck: {name: FPN, out_channels: 64, mode: DB}
+  Head: {name: DBHead, k: 50}
+PostProcess:
+  name: DBPostProcess
+  thresh: 0.3
+  box_thresh: 0.1
+  unclip_ratio: 1.5
+  score_mode: box
+Eval:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [dummy]
+    transforms:
+      - DecodeImage: {img_mode: RGB}
+      - DetLabelEncode:
+      - DetResizeForTest: {image_shape: [192, 192]}
+      - ToTensor:
+      - Normalize: {mean: [0.485, 0.456, 0.406], std: [0.229, 0.224, 0.225]}
+      - KeepKeys: {keep_keys: [image, shape, polys, ignore_tags]}
+  loader: {shuffle: False, batch_size_per_card: 1, num_workers: 1}
+"""
+
+REC_CFG = """
+Global:
+  distributed: False
+  seed: 1
+  character_dict_path:
+  max_text_length: 25
+  use_space_char: False
+Architecture:
+  model_type: rec
+  algorithm: CRNN
+  in_channels: 1
+  Transform:
+  Backbone: {name: VGG, model_name: v1, scale: 0.5}
+  Neck: {name: SequenceEncoder, encoder_type: rnn, hidden_size: 32}
+  Head: {name: CTCHead}
+PostProcess:
+  name: CTCLabelDecode
+Eval:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [dummy]
+    transforms:
+      - DecodeImage: {img_mode: GRAY}
+      - CTCLabelEncode:
+      - RecResizeImg: {image_shape: [1, 32, 96]}
+      - KeepKeys: {keep_keys: [image, label, length]}
+  loader: {shuffle: False, batch_size_per_card: 8, num_workers: 1}
+"""
+
+CLS_CFG = """
+Global:
+  distributed: False
+  seed: 1
+  label_list: ["0", "180"]
+Architecture:
+  model_type: cls
+  algorithm: CLS
+  Transform:
+  Backbone: {name: MobileNetV3, model_name: small, width_mult: 0.35, use_se: True}
+  Neck:
+  Head: {name: ClsHead, class_dim: 2}
+PostProcess:
+  name: ClsPostProcess
+Eval:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [dummy]
+    transforms:
+      - DecodeImage: {img_mode: RGB}
+      - ClsLabelEncode:
+      - ClsResizeImg: {image_shape: [3, 48, 192]}
+      - KeepKeys: {keep_keys: [image, label]}
+  loader: {shuffle: False, batch_size_per_card: 8, num_workers: 1}
+"""
+
+
+def _save_ckpt(cfg_path, tmp_path, prefix, example_shape, char_num=None):
+    config = load_config(cfg_path)
+    if char_num is not None:
+        config["Architecture"]["Head"]["out_channels"] = char_num
+    model = build_model(config["Architecture"])
+    tx, _ = build_optimizer(
+        {"base_lr": 1e-3, "optim": {"name": "Adam"}}, epochs=1, step_each_epoch=1
+    )
+    batch = (np.zeros(example_shape, np.float32),)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    save_model(state, {}, config, str(tmp_path), prefix=prefix)
+    return os.path.join(str(tmp_path), prefix)
+
+
+def test_ocr_pipeline_end_to_end(tmp_path):
+    det_cfg = _write_cfg(tmp_path, "det.yml", DET_CFG)
+    rec_cfg = _write_cfg(tmp_path, "rec.yml", REC_CFG)
+    cls_cfg = _write_cfg(tmp_path, "cls.yml", CLS_CFG)
+
+    det_ckpt = _save_ckpt(det_cfg, tmp_path, "det_ckpt", (1, 64, 64, 3))
+    rec_ckpt = _save_ckpt(rec_cfg, tmp_path, "rec_ckpt", (1, 32, 96, 1), char_num=37)
+    cls_ckpt = _save_ckpt(cls_cfg, tmp_path, "cls_ckpt", (1, 48, 192, 3))
+
+    label_file = make_det_dataset(str(tmp_path / "imgs"), n=1, size=224)
+    img_path = label_file.replace("det_label.txt", "det_0000.png")
+
+    from run_ocr import OCRer
+
+    ocrer = OCRer(det_cfg, det_ckpt, rec_cfg, rec_ckpt, cls_cfg, cls_ckpt)
+    result = ocrer.run(img_path)
+    assert isinstance(result, list)
+    for box, text, prob in result:
+        assert box.shape[-1] == 2
+        assert isinstance(text, str)
+        assert 0.0 <= prob <= 1.0
+
+
+def test_aot_and_serialized_export(tmp_path):
+    import jax.numpy as jnp
+    from common import aot_compile, export_serialized, load_serialized
+
+    def f(x):
+        return (x * 2 + 1).sum(axis=-1)
+
+    x = jnp.ones((2, 8), jnp.float32)
+    compiled = aot_compile(f, x)
+    np.testing.assert_allclose(np.asarray(compiled(x)), np.asarray(f(x)))
+
+    blob = export_serialized(f, x)
+    assert isinstance(blob, (bytes, bytearray))
+    g = load_serialized(bytes(blob))
+    np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)))
