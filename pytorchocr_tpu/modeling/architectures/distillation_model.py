@@ -23,11 +23,18 @@ class DistillationModel(nn.Module):
     frozen_names: Tuple[str, ...] = ()
 
     def __call__(self, x, data=None, train: bool = False):
+        import jax
+
         result_dict = {}
         for name, model in zip(self.model_names, self.models):
-            # frozen (teacher) submodels run in eval mode semantics for BN
-            sub_train = train and name not in self.frozen_names
-            result_dict[name] = model(x, data=data, train=sub_train)
+            # frozen (teacher) submodels run in eval-mode BN semantics and
+            # contribute no gradients (functional equivalent of
+            # requires_grad=False + model.training=False in the reference)
+            frozen = name in self.frozen_names
+            out = model(x, data=data, train=train and not frozen)
+            if frozen:
+                out = jax.lax.stop_gradient(out)
+            result_dict[name] = out
         return result_dict
 
 

@@ -1,0 +1,141 @@
+"""PSE/PAN: propagation ops (BFS-equivalence), losses, postprocess."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorchocr_tpu.ops.propagate import pa_np, pse_np, spread_labels_jax
+
+
+def test_pse_expansion_two_instances():
+    """Two separated kernels expand into their text regions without merging."""
+    H = W = 40
+    text = np.zeros((H, W), np.uint8)
+    text[5:15, 5:35] = 1   # instance A region
+    text[25:35, 5:35] = 1  # instance B region
+    small = np.zeros_like(text)
+    small[8:12, 10:30] = 1
+    small[28:32, 10:30] = 1
+    kernels = np.stack([text, small])  # big..small
+    label = pse_np(kernels, min_area=0)
+    # labels fill the text regions
+    a = label[10, 20]
+    b = label[30, 20]
+    assert a > 0 and b > 0 and a != b
+    assert (label[5:15, 5:35] == a).all()
+    assert (label[25:35, 5:35] == b).all()
+    assert (label[16:24, :] == 0).all()  # gap stays background
+
+
+def test_pse_min_area_filter():
+    H = W = 16
+    text = np.zeros((H, W), np.uint8)
+    text[2:6, 2:6] = 1
+    small = np.zeros_like(text)
+    small[3:5, 3:5] = 1  # area 4
+    kernels = np.stack([text, small])
+    label = pse_np(kernels, min_area=10)
+    assert (label == 0).all()
+
+
+def test_pa_embedding_gate():
+    """Two kernels inside ONE text CC with very different areas trigger the
+    embedding gate; pixels are assigned by embedding distance."""
+    H, W = 20, 60
+    text = np.zeros((H, W), np.uint8)
+    text[5:15, 5:55] = 1  # one big text region
+    kernel = np.zeros_like(text)
+    kernel[9:11, 8:12] = 1     # small kernel left (area 8)
+    kernel[6:14, 30:52] = 1    # big kernel right (area 176)
+    emb = np.zeros((4, H, W), np.float32)
+    emb[0, :, :30] = 1.0  # left half embedding ~ e0
+    emb[0, :, 30:] = 5.0  # right half embedding ~ e1
+    kernels = np.stack([text, kernel])
+    label = pa_np(kernels, emb, min_area=0)
+    assert label[10, 9] > 0 and label[10, 40] > 0
+    # area ratio 176/8 = 22 < 1024 so gate not triggered -> plain growth;
+    # both labels survive and fill their sides
+    assert label[10, 9] != label[10, 40]
+
+
+def test_spread_labels_jax_matches_np():
+    rng = np.random.RandomState(0)
+    mask = rng.rand(32, 32) > 0.3
+    labels = np.zeros((32, 32), np.int32)
+    labels[5, 5] = 1
+    labels[25, 25] = 2
+    mask[5, 5] = mask[25, 25] = True
+
+    out_jax = np.asarray(
+        spread_labels_jax(jnp.asarray(labels), jnp.asarray(mask))
+    )
+    # fixpoint invariants: seeds preserved, labels only within mask,
+    # every masked pixel connected to a seed is labeled
+    assert out_jax[5, 5] == 1 and out_jax[25, 25] == 2
+    assert (out_jax[~mask] == 0).all()
+    # re-running changes nothing (fixpoint)
+    out2 = np.asarray(spread_labels_jax(jnp.asarray(out_jax), jnp.asarray(mask)))
+    np.testing.assert_array_equal(out_jax, out2)
+
+
+def test_pse_loss_and_postprocess():
+    from pytorchocr_tpu.losses import build_loss
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 32, 32
+    preds = {"maps": jnp.asarray(rng.randn(n, h, w, 7).astype(np.float32))}
+    batch = (
+        None,
+        jnp.asarray((rng.rand(n, h * 4, w * 4) > 0.5).astype(np.float32)),
+        jnp.asarray((rng.rand(n, 6, h * 4, w * 4) > 0.5).astype(np.float32)),
+        jnp.asarray(np.ones((n, h * 4, w * 4), np.float32)),
+    )
+    loss = build_loss({"name": "PSELoss", "alpha": 0.7, "ohem_ratio": 3,
+                       "kernel_sample_mask": "pred", "reduction": "mean"})
+    out = loss(preds, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert 0 <= float(out["iou_text"]) <= 1
+
+    post = build_post_process({"name": "PSEPostProcess", "thresh": 0,
+                               "box_thresh": 0.5, "min_area": 4, "scale": 4})
+    maps = np.full((1, h, w, 7), -10.0, np.float32)
+    maps[0, 8:24, 8:24, :] = 10.0  # confident blob on all kernels
+    res = post({"maps": jnp.asarray(maps)}, [[h * 4, w * 4, 1.0, 1.0]])
+    assert len(res[0]["points"]) == 1
+
+
+def test_pan_loss_and_postprocess():
+    from pytorchocr_tpu.losses import build_loss
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 32, 32
+    preds = {"maps": jnp.asarray(rng.randn(n, h, w, 6).astype(np.float32))}
+    gt_instance = np.zeros((n, h * 4, w * 4), np.int32)
+    gt_instance[:, 10:40, 10:60] = 1
+    gt_instance[:, 60:90, 10:60] = 2
+    batch = (
+        None,
+        jnp.asarray((gt_instance > 0).astype(np.float32)),
+        jnp.asarray((gt_instance > 0).astype(np.float32)),
+        jnp.asarray(gt_instance),
+        jnp.asarray(np.ones((n, h * 4, w * 4), np.float32)),
+    )
+    loss = build_loss({"name": "PANLoss", "alpha": 1.0, "beta": 0.5,
+                       "gamma": 0.25, "feature_dim": 4, "mode": "v2",
+                       "ohem_ratio": 3, "kernel_sample_mask": "pred",
+                       "reduction": "mean"})
+    out = loss(preds, batch)
+    assert np.isfinite(float(out["loss"]))
+    assert np.isfinite(float(out["loss_emb"]))
+
+    post = build_post_process({"name": "PANPostProcess", "thresh": 0,
+                               "box_thresh": 0.5, "min_area": 4,
+                               "min_kernel_area": 2.6, "scale": 4})
+    maps = np.full((1, h, w, 6), -10.0, np.float32)
+    maps[0, 8:24, 8:24, 0] = 10.0  # text
+    maps[0, 10:22, 10:22, 1] = 10.0  # kernel
+    res = post({"maps": jnp.asarray(maps)}, [[h * 4, w * 4, 1.0, 1.0]])
+    assert len(res[0]["points"]) == 1
