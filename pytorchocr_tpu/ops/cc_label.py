@@ -1,0 +1,116 @@
+"""On-device connected-component labeling + per-label reductions.
+
+The TPU-native replacement for the host front-half of DB postprocess
+(reference: .cpu().numpy() + cv2.findContours + per-contour fillPoly mean
+scoring, db_postprocess.py:43-72 and the C++ module).  Pipeline, all inside
+one jit:
+
+  prob map -> threshold -> CC labels (fixpoint 4-neighbor max propagation,
+  a lax.while_loop of VPU shifts) -> compact relabel (sized jnp.unique) ->
+  per-label pixel count / prob sum / bbox via segment reductions.
+
+Only (labels int32, per-label stats) cross to host; the box-score is exact
+("poly" score = mean prob over the component).  Host work shrinks to
+minAreaRect + unclip on the <=max_labels surviving components.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def connected_components(binary, max_labels=1024):
+    """4-connected components of a (H, W) bool map.
+
+    Returns (labels, num) where labels is int32 (H, W) with values in
+    [0, max_labels), 0 = background, and components are compactly numbered
+    starting at 1 in raster-scan order of their seed pixel.
+    """
+    h, w = binary.shape
+    idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    labels = jnp.where(binary, idx, 0)
+
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+
+    def one_round(labels):
+        best = labels
+        for dx, dy, valid in (
+            (1, 0, row > 0),
+            (-1, 0, row < h - 1),
+            (0, 1, col > 0),
+            (0, -1, col < w - 1),
+        ):
+            nb = jnp.where(valid, jnp.roll(labels, (dx, dy), axis=(0, 1)), 0)
+            best = jnp.maximum(best, nb)
+        return jnp.where(binary, best, 0)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        labels, _ = state
+        new = one_round(labels)
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(cond, body, (one_round(labels), jnp.bool_(True)))
+
+    # compact relabel: sized unique + searchsorted (jit-compatible).
+    # Pad with int32 max so the padded array stays sorted.
+    sentinel = jnp.iinfo(jnp.int32).max
+    uniq = jnp.unique(labels, size=max_labels, fill_value=sentinel)
+    compact = jnp.searchsorted(uniq, labels)
+    # background label 0 maps to position of 0 in uniq (position 0 whenever
+    # any background exists); overflow components clamp into the last slot
+    compact = jnp.clip(compact, 0, max_labels - 1)
+    num = jnp.sum((uniq > 0) & (uniq < sentinel))
+    return compact.astype(jnp.int32), num
+
+
+@partial(jax.jit, static_argnames=("max_labels",))
+def db_front_half(prob, thresh=0.3, max_labels=1024):
+    """Device front-half of DBPostProcess for one (H, W) prob map.
+
+    Returns dict of:
+      labels  (H, W) int32 compact component ids (0 = background)
+      count   (max_labels,) pixels per component
+      score   (max_labels,) mean prob per component (the reference's
+              "poly" score mode — mean over the region)
+      bbox    (max_labels, 4) xmin, ymin, xmax, ymax
+    """
+    binary = prob > thresh
+    labels, num = connected_components(binary, max_labels)
+    flat = labels.reshape(-1)
+
+    ones = jnp.ones_like(flat, dtype=jnp.float32)
+    count = jax.ops.segment_sum(ones, flat, num_segments=max_labels)
+    score_sum = jax.ops.segment_sum(
+        prob.reshape(-1).astype(jnp.float32), flat, num_segments=max_labels
+    )
+    score = score_sum / jnp.maximum(count, 1.0)
+
+    h, w = prob.shape
+    ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
+    xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
+    big = jnp.int32(1 << 30)
+    xmin = jax.ops.segment_min(
+        jnp.where(flat > 0, xs, big), flat, num_segments=max_labels
+    )
+    ymin = jax.ops.segment_min(
+        jnp.where(flat > 0, ys, big), flat, num_segments=max_labels
+    )
+    xmax = jax.ops.segment_max(
+        jnp.where(flat > 0, xs, -1), flat, num_segments=max_labels
+    )
+    ymax = jax.ops.segment_max(
+        jnp.where(flat > 0, ys, -1), flat, num_segments=max_labels
+    )
+    bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
+    return {
+        "labels": labels,
+        "num": num,
+        "count": count,
+        "score": score,
+        "bbox": bbox,
+    }

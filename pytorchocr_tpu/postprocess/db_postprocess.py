@@ -50,6 +50,13 @@ class DBPostProcess:
 
     def __call__(self, outs_dict, shape_list, use_padding_resize=False):
         pred = outs_dict["maps"]
+        if (
+            not self.out_polygon
+            and not use_padding_resize
+            and self.score_mode == "poly"  # device score == region-mean score
+            and hasattr(pred, "device")  # jax array: take the on-device path
+        ):
+            return self._call_device(pred, shape_list)
         pred = np.asarray(pred)  # device -> host (prob map only)
         pred = pred[:, :, :, 0] if pred.ndim == 4 else pred
         segmentation = pred > self.thresh
@@ -68,6 +75,76 @@ class DBPostProcess:
                 pred[batch_index], mask, src_w, src_h, use_padding_resize
             )
             res_batch.append({"points": boxes, "scores": scores})
+        return res_batch
+
+    def _call_device(self, pred, shape_list):
+        """TPU fast path: threshold + connected components + per-component
+        score/bbox run ON DEVICE (pytorchocr_tpu/ops/cc_label.py); host work
+        is minAreaRect + unclip over the surviving components only."""
+        import jax.numpy as jnp
+
+        from pytorchocr_tpu.ops.cc_label import db_front_half
+
+        pred = jnp.asarray(pred)
+        prob = pred[..., 0] if pred.ndim == 4 else pred
+        if self.dilation_kernel is not None:
+            import jax
+
+            binary = (prob > self.thresh).astype(jnp.float32)
+            dil = jax.lax.reduce_window(
+                binary, -jnp.inf, jax.lax.max,
+                window_dimensions=(1, 2, 2), window_strides=(1, 1, 1),
+                padding=((0, 0), (0, 1), (0, 1)),
+            )
+            # feed a map whose thresholding reproduces the dilated mask but
+            # whose values keep the original probabilities for scoring
+            prob_for_cc = jnp.maximum(prob, jnp.where(dil > 0, self.thresh + 1e-6, 0.0))
+        else:
+            prob_for_cc = prob
+
+        res_batch = []
+        height, width = prob.shape[1], prob.shape[2]
+        for batch_index in range(prob.shape[0]):
+            stats = db_front_half(
+                prob_for_cc[batch_index], self.thresh, max_labels=self.max_candidates
+            )
+            labels = np.asarray(stats["labels"])
+            count = np.asarray(stats["count"])
+            score_arr = np.asarray(stats["score"])
+            bbox = np.asarray(stats["bbox"])
+
+            src_h, src_w, ratio_h, ratio_w = shape_list[batch_index]
+            src_h, src_w = int(src_h), int(src_w)
+            boxes, scores = [], []
+            for lbl in range(1, len(count)):
+                if count[lbl] <= 0:
+                    continue
+                score = float(score_arr[lbl])
+                if self.box_thresh > score:
+                    continue
+                x0, y0, x1, y1 = bbox[lbl]
+                pts = np.argwhere(labels[y0 : y1 + 1, x0 : x1 + 1] == lbl)[:, ::-1]
+                pts = pts + np.array([[x0, y0]])
+                points, sside = geometry.min_area_rect_points(pts.astype(np.float32))
+                if sside < self.min_size:
+                    continue
+                distance = geometry.unclip_distance(points, self.unclip_ratio)
+                cloud = geometry.unclip_points(points, distance)
+                box, sside = geometry.min_area_rect_points(cloud)
+                if sside < self.min_size + 2:
+                    continue
+                box = np.array(box).reshape(-1, 2)
+                box[:, 0] = np.clip(
+                    np.round(box[:, 0] / width * src_w), 0, src_w
+                )
+                box[:, 1] = np.clip(
+                    np.round(box[:, 1] / height * src_h), 0, src_h
+                )
+                boxes.append(box.astype(np.int16))
+                scores.append(score)
+            res_batch.append(
+                {"points": np.array(boxes, dtype=np.int16), "scores": scores}
+            )
         return res_batch
 
     def boxes_from_bitmap(self, pred, _bitmap, dest_width, dest_height,
