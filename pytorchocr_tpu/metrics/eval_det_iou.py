@@ -49,12 +49,7 @@ class DetectionIoUEvaluator:
         if gtPols and detPols:
             gtRectMat = np.zeros(len(gtPols), np.int8)
             detRectMat = np.zeros(len(detPols), np.int8)
-            iouMat = np.empty([len(gtPols), len(detPols)])
-            for gtNum in range(len(gtPols)):
-                for detNum in range(len(detPols)):
-                    iouMat[gtNum, detNum] = geometry.poly_iou(
-                        detPols[detNum], gtPols[gtNum]
-                    )
+            iouMat = self._iou_matrix(gtPols, detPols)
             for gtNum in range(len(gtPols)):
                 for detNum in range(len(detPols)):
                     if (
@@ -75,6 +70,39 @@ class DetectionIoUEvaluator:
             "detCare": numDetCare,
             "detMatched": detMatched,
         }
+
+    @staticmethod
+    def _iou_matrix(gtPols, detPols):
+        """Pairwise IoU via the native C++ kernel when polygons have uniform
+        arity (ICDAR quads); -1 entries (non-convex x non-convex) and
+        non-uniform inputs fall back to the numpy path."""
+        try:
+            from pytorchocr_tpu import native
+
+            gt_sizes = {len(p) for p in gtPols}
+            det_sizes = {len(p) for p in detPols}
+            if (
+                native.native_available()
+                and len(gt_sizes) == 1
+                and len(det_sizes) == 1
+            ):
+                mat = native.iou_matrix(
+                    np.stack(gtPols).astype(np.float32),
+                    np.stack(detPols).astype(np.float32),
+                ).astype(np.float64)
+                bad = np.argwhere(mat < 0)
+                for gi, di in bad:
+                    mat[gi, di] = geometry.poly_iou(detPols[di], gtPols[gi])
+                return mat
+        except Exception:
+            pass
+        iouMat = np.empty([len(gtPols), len(detPols)])
+        for gtNum in range(len(gtPols)):
+            for detNum in range(len(detPols)):
+                iouMat[gtNum, detNum] = geometry.poly_iou(
+                    detPols[detNum], gtPols[gtNum]
+                )
+        return iouMat
 
     def combine_results(self, results):
         numGlobalCareGt = 0
