@@ -31,30 +31,11 @@ def connected_components(binary, max_labels=1024):
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     labels = jnp.where(binary, idx, 0)
 
-    row = jnp.arange(h)[:, None]
-    col = jnp.arange(w)[None, :]
+    # fixpoint 4-neighbor max spreading: VMEM-resident Pallas kernel when
+    # the map fits the budget, XLA roll/max loop otherwise
+    from .pallas_propagate import spread_labels_fixpoint
 
-    def one_round(labels):
-        best = labels
-        for dx, dy, valid in (
-            (1, 0, row > 0),
-            (-1, 0, row < h - 1),
-            (0, 1, col > 0),
-            (0, -1, col < w - 1),
-        ):
-            nb = jnp.where(valid, jnp.roll(labels, (dx, dy), axis=(0, 1)), 0)
-            best = jnp.maximum(best, nb)
-        return jnp.where(binary, best, 0)
-
-    def cond(state):
-        return state[1]
-
-    def body(state):
-        labels, _ = state
-        new = one_round(labels)
-        return new, jnp.any(new != labels)
-
-    labels, _ = jax.lax.while_loop(cond, body, (one_round(labels), jnp.bool_(True)))
+    labels = spread_labels_fixpoint(labels, binary, fill_only=False)
 
     # compact relabel: sized unique + searchsorted (jit-compatible).
     # Pad with int32 max so the padded array stays sorted.

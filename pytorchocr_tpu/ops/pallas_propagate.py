@@ -1,0 +1,137 @@
+"""Pallas TPU kernel: VMEM-resident label propagation.
+
+The XLA fixpoint loop in ops/propagate.py / ops/cc_label.py pays one HBM
+round trip per 4-neighbor spreading round.  This kernel keeps the label map
+in VMEM and runs ROUNDS_PER_CALL rounds per HBM pass (a 736x1280 int32 map
+is ~3.8 MB — comfortably VMEM-resident), and also emits a `changed` flag so
+the outer lax.while_loop can stop at the fixpoint.
+
+Used by connected-component labeling (DB postprocess front-half) and the
+PSE/PAN expansion when maps fit in VMEM; callers fall back to the plain XLA
+loop otherwise.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+ROUNDS_PER_CALL = 16
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
+
+
+def pallas_available(shape):
+    if not _HAVE_PALLAS:
+        return False
+    h, w = shape
+    # Mosaic holds ~6 live full-size int32 buffers for the roll/max chain
+    # (measured: 21.7MB scoped at 736x1280); PSE/PAN quarter-res maps and
+    # <=640px DB maps fit, larger maps take the XLA fallback
+    return (h * w * 4) * 6 < _VMEM_BUDGET
+
+
+def _propagate_kernel(labels_ref, mask_ref, out_ref, changed_ref, *, fill_only):
+    h, w = labels_ref.shape
+    # boundary-invalidation masks as broadcastable (h,1)/(1,w) vectors —
+    # full (h,w) iotas would blow the VMEM budget at 736x1280
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    not_top = row > 0
+    not_bottom = row < h - 1
+    not_left = col > 0
+    not_right = col < w - 1
+    # int8 in VMEM (4x smaller than int32); Mosaic can't compare int8
+    # directly — widen before the compare (transient)
+    mask = mask_ref[:].astype(jnp.int32) > 0
+
+    def one_round(_, carry):
+        labels, _ = carry
+        best = labels
+        # pltpu.roll requires non-negative shifts: -1 == size-1 (cyclic)
+        up = jnp.where(not_top, pltpu.roll(labels, 1, 0), 0)
+        best = jnp.maximum(best, up)
+        down = jnp.where(not_bottom, pltpu.roll(labels, h - 1, 0), 0)
+        best = jnp.maximum(best, down)
+        left = jnp.where(not_left, pltpu.roll(labels, 1, 1), 0)
+        best = jnp.maximum(best, left)
+        right = jnp.where(not_right, pltpu.roll(labels, w - 1, 1), 0)
+        best = jnp.maximum(best, right)
+        if fill_only:
+            # PSE/PAN expansion: only unlabeled masked pixels take a label
+            new = jnp.where((labels == 0) & mask, best, labels)
+        else:
+            # CC labeling: every masked pixel takes the neighborhood max
+            new = jnp.where(mask, best, 0)
+        # "changed in the LAST round" decides whether the fixpoint is hit —
+        # avoids retaining a full start-copy for the comparison
+        changed = jnp.any(new != labels).astype(jnp.int32)
+        return new, changed
+
+    final, changed = jax.lax.fori_loop(
+        0, ROUNDS_PER_CALL, one_round, (labels_ref[:], jnp.int32(1))
+    )
+    out_ref[:] = final
+    changed_ref[0] = changed
+
+
+def _interpret_mode():
+    # compiled Mosaic kernels need a real TPU; CPU tests run interpreted
+    return jax.default_backend() != "tpu"
+
+
+def propagate_rounds_pallas(labels, mask, fill_only=True):
+    """Run ROUNDS_PER_CALL spreading rounds in one VMEM-resident kernel.
+    Returns (new_labels, changed_bool)."""
+    h, w = labels.shape
+    out, changed = pl.pallas_call(
+        functools.partial(_propagate_kernel, fill_only=fill_only),
+        interpret=_interpret_mode(),
+        out_shape=(
+            jax.ShapeDtypeStruct((h, w), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )(labels.astype(jnp.int32), mask.astype(jnp.int8))
+    return out, changed[0] > 0
+
+
+@functools.partial(jax.jit, static_argnames=("fill_only",))
+def spread_labels_fixpoint(labels, mask, fill_only=True):
+    """Fixpoint spreading: Pallas inner kernel (16 rounds per HBM pass)
+    when the map fits the VMEM budget, else the plain XLA loop.
+
+    fill_only=True: unlabeled masked pixels take neighbor labels (PSE/PAN
+    expansion).  fill_only=False: all masked pixels take the neighborhood
+    max each round (connected-component labeling)."""
+    if not pallas_available(labels.shape):
+        from .propagate import spread_labels_jax
+
+        return spread_labels_jax(labels, mask, fill_only=fill_only)
+
+    def cond(state):
+        return state[1]
+
+    def body(state):
+        lbl, _ = state
+        return propagate_rounds_pallas(lbl, mask, fill_only)
+
+    labels, changed = propagate_rounds_pallas(
+        labels.astype(jnp.int32), mask, fill_only
+    )
+    labels, _ = jax.lax.while_loop(cond, body, (labels, changed))
+    return labels

@@ -152,9 +152,11 @@ def _jax_modules():
     return jax, jnp
 
 
-def spread_labels_jax(labels, mask, max_iters=256):
+def spread_labels_jax(labels, mask, max_iters=256, fill_only=True):
     """On-device fixpoint label spreading: labels (H, W) int32, mask (H, W)
-    bool.  Each round is four shifted selects — pure VPU work under jit."""
+    bool.  Each round is four shifted selects — pure VPU work under jit.
+    fill_only=True fills unlabeled pixels only (PSE/PAN expansion);
+    fill_only=False takes the neighborhood max everywhere (CC labeling)."""
     jax, jnp = _jax_modules()
 
     def shift(x, dx, dy):
@@ -175,7 +177,10 @@ def spread_labels_jax(labels, mask, max_iters=256):
         ):
             nb = jnp.where(valid, shift(labels, dx, dy), 0)
             best = jnp.maximum(best, nb)
-        new_labels = jnp.where((labels == 0) & mask, best, labels)
+        if fill_only:
+            new_labels = jnp.where((labels == 0) & mask, best, labels)
+        else:
+            new_labels = jnp.where(mask, best, 0)
         return new_labels, jnp.any(new_labels != labels)
 
     def cond(state):

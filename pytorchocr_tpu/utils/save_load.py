@@ -122,6 +122,42 @@ def _merge_trees(target, source, path=""):
     return source
 
 
+def load_backbone_pretrained(state, arch_config, logger=None):
+    """Per-backbone ImageNet init (reference det_resnet.py:246-255):
+    Architecture.Backbone.{pretrained, ckpt_path} pointing to a converted
+    flax params dir (tools/convert_torch_weights.py).  Supports both plain
+    and Distillation architectures."""
+    logger = logger or get_logger()
+
+    def one(model_key, backbone_cfg, params, stats):
+        path = backbone_cfg.get("ckpt_path")
+        if not backbone_cfg.get("pretrained") or not path:
+            return params, stats
+        if not os.path.exists(path):
+            logger.info("imagenet ckpt_path not exists: %s", path)
+            return params, stats
+        restored = _restore_pytree(os.path.abspath(path))
+        new_p = _merge_trees(params, restored.get("params", {}))
+        new_s = stats
+        if restored.get("batch_stats"):
+            new_s = _merge_trees(stats, restored["batch_stats"])
+        logger.info("load imagenet weights from %s", path)
+        return new_p, new_s
+
+    params = jax.device_get(state.params)
+    stats = jax.device_get(state.batch_stats)
+    if "Models" in arch_config:  # distillation: params keyed models_{i}
+        for i, key in enumerate(arch_config["Models"]):
+            bcfg = arch_config["Models"][key].get("Backbone", {})
+            sub = "models_%d" % i
+            if sub in params:
+                params[sub], stats[sub] = one(key, bcfg, params[sub], stats.get(sub, {}))
+    else:
+        bcfg = arch_config.get("Backbone", {})
+        params, stats = one("model", bcfg, params, stats)
+    return state.replace(params=params, batch_stats=stats)
+
+
 def load_pretrained_params(state, path, logger=None):
     logger = logger or get_logger()
     path = os.path.abspath(path)

@@ -1,0 +1,49 @@
+"""Pallas VMEM-resident propagation kernel (interpret mode on CPU):
+parity with the XLA fixpoint loop for both update rules."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from pytorchocr_tpu.ops.pallas_propagate import (
+    pallas_available,
+    spread_labels_fixpoint,
+)
+from pytorchocr_tpu.ops.propagate import spread_labels_jax
+
+
+def test_budget_gate():
+    assert pallas_available((184, 320))  # PSE quarter-res map
+    assert pallas_available((640, 640))  # det train-res map
+    assert not pallas_available((1472, 2560))  # way over budget
+
+
+def test_fill_only_matches_xla():
+    rng = np.random.RandomState(0)
+    mask = rng.rand(64, 64) > 0.3
+    labels = np.zeros((64, 64), np.int32)
+    labels[5, 5] = 1
+    labels[50, 50] = 2
+    mask[5, 5] = mask[50, 50] = True
+    a = np.asarray(
+        spread_labels_fixpoint(jnp.asarray(labels), jnp.asarray(mask), fill_only=True)
+    )
+    b = np.asarray(
+        spread_labels_jax(jnp.asarray(labels), jnp.asarray(mask), fill_only=True)
+    )
+    np.testing.assert_array_equal(a, b)
+    assert (a > 0).sum() > 2
+
+
+def test_cc_rule_matches_xla():
+    rng = np.random.RandomState(1)
+    mask = rng.rand(64, 64) > 0.4
+    idx = (np.arange(64 * 64, dtype=np.int32) + 1).reshape(64, 64)
+    labels = np.where(mask, idx, 0).astype(np.int32)
+    a = np.asarray(
+        spread_labels_fixpoint(jnp.asarray(labels), jnp.asarray(mask), fill_only=False)
+    )
+    b = np.asarray(
+        spread_labels_jax(jnp.asarray(labels), jnp.asarray(mask), fill_only=False)
+    )
+    np.testing.assert_array_equal(a, b)

@@ -188,6 +188,27 @@ def train(
     train_step = make_train_step(model, loss_class, tx, mesh)
     eval_step = make_eval_step(model, mesh)
 
+    # tracing/profiling subsystem: Global.use_profiler captures an
+    # XLA/jax.profiler trace of steps [profile_start, profile_end) into
+    # save_model_dir/profile (viewable in TensorBoard / Perfetto); the
+    # reference has no tracer (SURVEY.md §5), only wall-clock counters —
+    # those are kept too (reader_cost / batch_cost / ips below).
+    use_profiler = global_config.get("use_profiler", False)
+    profile_start = global_config.get("profile_start_step", 10)
+    profile_end = global_config.get("profile_end_step", 15)
+    profiling = False
+
+    loss_window = []  # deferred device->host loss fetch (see hot loop)
+
+    def _drain_loss_window():
+        for losses_dev, lr_val in loss_window:
+            stats = {
+                k: float(np.asarray(v).mean()) for k, v in losses_dev.items()
+            }
+            stats["lr"] = lr_val
+            train_stats.update(stats)
+        loss_window.clear()
+
     for epoch in range(start_epoch, epoch_num):
         train_dataloader.set_epoch(epoch)
         train_reader_cost = 0.0
@@ -199,16 +220,26 @@ def train(
             train_reader_cost += time.time() - reader_start
             lr = float(lr_schedule(global_step))
 
+            if use_profiler and jax.process_index() == 0:
+                if global_step == profile_start and not profiling:
+                    jax.profiler.start_trace(
+                        os.path.join(save_model_dir, "profile")
+                    )
+                    profiling = True
+                elif global_step == profile_end and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+
             train_start = time.time()
             state, losses = train_step(state, batch)
-            # block for accurate timing at log steps only? keep async; the
-            # stats fetch below synchronizes.
-            stats = {k: float(np.asarray(v).mean()) for k, v in losses.items()}
+            # keep the step fully async: buffer the (tiny) device loss dicts
+            # and fetch them only at log steps — a per-step fetch would
+            # force a device sync every iteration and stall the pipeline
+            loss_window.append((losses, lr))
+            if len(loss_window) > log_smooth_window:
+                loss_window.pop(0)
             train_run_cost += time.time() - train_start
             total_samples += len(batch_np[0])
-
-            stats["lr"] = lr
-            train_stats.update(stats)
 
             if cal_metric_during_train and model_type != "det":
                 preds_eval = eval_step(state.params, state.batch_stats, batch[0])
@@ -220,15 +251,14 @@ def train(
                 metric = eval_class.get_metric()
                 train_stats.update(metric)
 
-            if jax.process_index() == 0 and tsb_writer is not None:
-                for k, v in train_stats.get().items():
-                    tsb_writer.add_scalar("TRAIN/{}".format(k), v, global_step)
-                tsb_writer.add_scalar("TRAIN/lr", lr, global_step)
-
             if jax.process_index() == 0 and (
                 (global_step > 0 and global_step % print_batch_step == 0)
                 or (idx == len(train_dataloader) - 1)
             ):
+                _drain_loss_window()
+                if tsb_writer is not None:
+                    for k, v in train_stats.get().items():
+                        tsb_writer.add_scalar("TRAIN/{}".format(k), v, global_step)
                 logs = train_stats.log()
                 strs = (
                     "epoch: [{}/{}], iter: {}, {}, reader_cost: {:.5f} s, "
