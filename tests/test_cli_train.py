@@ -1,0 +1,122 @@
+"""The real CLI path: tools/train.py on a synthetic rec dataset for two
+epochs with eval + checkpointing, then resume from the checkpoint."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from synth import make_rec_dataset
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+CFG = """
+Global:
+  use_gpu: False
+  distributed: False
+  use_amp: False
+  seed: 7
+  epoch_num: 2
+  log_smooth_window: 5
+  print_batch_step: 1
+  save_model_dir: {save_dir}
+  ckpt_save_type: HighestAcc
+  save_epoch_step: 100
+  eval_epoch_step: [0, 1]
+  cal_metric_during_train: False
+  pretrained_model:
+  checkpoints:
+  use_tensorboard: False
+  character_dict_path:
+  max_text_length: 25
+  use_space_char: False
+Architecture:
+  model_type: rec
+  algorithm: CRNN
+  in_channels: 1
+  Transform:
+  Backbone: {{name: VGG, model_name: v1, scale: 0.5}}
+  Neck: {{name: SequenceEncoder, encoder_type: rnn, hidden_size: 32}}
+  Head: {{name: CTCHead}}
+Loss:
+  name: CTCLoss
+Optimizer:
+  base_lr: 0.001
+  optim: {{name: Adam, amsgrad: True}}
+  lr_decay: {{name: WarmupPolyLR, warmup_epoch: 1, power: 0.9}}
+PostProcess:
+  name: CTCLabelDecode
+Metric:
+  name: RecMetric
+  main_indicator: acc
+Train:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [{label_file}]
+    transforms:
+      - DecodeImage: {{img_mode: GRAY}}
+      - CTCLabelEncode:
+      - RecResizeImg: {{image_shape: [1, 32, 96]}}
+      - KeepKeys: {{keep_keys: [image, label, length]}}
+  loader: {{shuffle: True, batch_size_per_card: 8, drop_last: True, num_workers: 2}}
+Eval:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [{label_file}]
+    transforms:
+      - DecodeImage: {{img_mode: GRAY}}
+      - CTCLabelEncode:
+      - RecResizeImg: {{image_shape: [1, 32, 96]}}
+      - KeepKeys: {{keep_keys: [image, label, length]}}
+  loader: {{shuffle: False, drop_last: False, batch_size_per_card: 8, num_workers: 2}}
+"""
+
+
+def _run_train(cfg_path, extra_opts=()):
+    env = dict(os.environ)
+    env["OCR_TPU_PLATFORM"] = "cpu"
+    env.pop("JAX_PLATFORMS", None)
+    cmd = [sys.executable, os.path.join(REPO, "tools", "train.py"), "-c", cfg_path]
+    if extra_opts:
+        cmd += ["-o"] + list(extra_opts)
+    return subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True, timeout=900
+    )
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    label_file = make_rec_dataset(str(tmp_path / "data"), n=16)
+    save_dir = str(tmp_path / "out")
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(save_dir=save_dir, label_file=label_file))
+
+    result = _run_train(cfg_path)
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    # checkpoints + resolved config written
+    assert os.path.isdir(os.path.join(save_dir, "latest"))
+    assert os.path.isdir(os.path.join(save_dir, "best_accuracy"))
+    assert os.path.exists(os.path.join(save_dir, "config.yml"))
+    with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
+        gs = json.load(f)
+    assert gs["start_epoch"] == 1 and gs["global_step"] == 4  # 2 epochs x 2 iters
+    assert "best metric" in result.stdout
+
+    # resume for one more epoch from latest
+    result2 = _run_train(
+        cfg_path,
+        [
+            "Global.checkpoints={}".format(os.path.join(save_dir, "latest")),
+            "Global.epoch_num=3",
+        ],
+    )
+    assert result2.returncode == 0, result2.stdout[-3000:] + result2.stderr[-3000:]
+    assert "resume from" in result2.stdout
+    with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
+        gs2 = json.load(f)
+    # reference resume semantics (tools/program.py:371): start_epoch is the
+    # just-finished epoch index, so resuming re-runs it -> epochs 1,2 = +4
+    assert gs2["global_step"] == 8

@@ -72,6 +72,12 @@ class TensorboardWriter:
 
 
 def preprocess(is_train=False):
+    # test/CI hook: force a platform before the backend initializes (the
+    # hosted env pins jax_platforms, so a plain env var is not enough)
+    platform = os.environ.get("OCR_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     args = ArgsParser().parse_args()
     config = load_config(args.config)
     merge_config(config, args.opt)
