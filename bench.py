@@ -24,7 +24,7 @@ import numpy as np
 
 BASELINE_TRT_FP16_FPS = 50.0
 H, W = 736, 1280
-BATCH = 8
+BATCH = 16
 ITERS = 12
 
 
