@@ -50,6 +50,30 @@ def connected_components(binary, max_labels=1024):
 
 
 @partial(jax.jit, static_argnames=("max_labels",))
+def pse_expand_device(kernels, min_area, max_labels=1024):
+    """On-device progressive scale expansion (pse.pyx semantics):
+    kernels (K, H, W) bool ordered big..small.  CC on the smallest kernel,
+    min-area filter via segment counts, then per-level fixpoint spreading
+    (Pallas VMEM kernel at these quarter-res map sizes).  Returns the int32
+    label map."""
+    from .pallas_propagate import spread_labels_fixpoint
+
+    labels, num = connected_components(kernels[-1], max_labels)
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(labels.reshape(-1), dtype=jnp.float32),
+        labels.reshape(-1),
+        num_segments=max_labels,
+    )
+    keep = counts >= min_area
+    keep = keep.at[0].set(False)
+    labels = jnp.where(keep[labels], labels, 0)
+
+    for k in range(kernels.shape[0] - 2, -1, -1):
+        labels = spread_labels_fixpoint(labels, kernels[k], fill_only=True)
+    return labels
+
+
+@partial(jax.jit, static_argnames=("max_labels",))
 def db_front_half(prob, thresh=0.3, max_labels=1024):
     """Device front-half of DBPostProcess for one (H, W) prob map.
 

@@ -20,6 +20,7 @@ class PSEPostProcess:
         min_area=16,
         scale=4,
         out_polygon=False,
+        use_device_expand=True,
         **kwargs
     ):
         self.thresh = thresh
@@ -27,6 +28,9 @@ class PSEPostProcess:
         self.min_area = min_area
         self.out_polygon = out_polygon
         self.scale = scale
+        # on-device scale expansion (Pallas/XLA fixpoint) instead of the
+        # host numpy propagation; host fallback kept for parity checks
+        self.use_device_expand = use_device_expand
 
     def __call__(self, outs_dict, shape_list):
         import jax.numpy as jnp
@@ -44,6 +48,20 @@ class PSEPostProcess:
         text_mask = kernels[..., 0:1]
         kernels = kernels * text_mask
 
+        labels_dev = None
+        if self.use_device_expand:
+            from pytorchocr_tpu.ops.cc_label import pse_expand_device
+
+            kb = jnp.transpose(kernels > 0, (0, 3, 1, 2))  # (N, K, H, W)
+            labels_dev = [
+                np.asarray(
+                    pse_expand_device(
+                        kb[i], jnp.float32(self.min_area / (self.scale ** 2))
+                    )
+                )
+                for i in range(kb.shape[0])
+            ]
+
         score = np.asarray(score, dtype=np.float32)
         kernels = np.asarray(kernels, dtype=np.uint8)
 
@@ -53,12 +71,14 @@ class PSEPostProcess:
                 score[batch_index],
                 kernels[batch_index].transpose(2, 0, 1),  # (7, H, W)
                 shape_list[batch_index],
+                label=None if labels_dev is None else labels_dev[batch_index],
             )
             res_batch.append({"points": boxes, "scores": scores})
         return res_batch
 
-    def boxes_from_bitmap(self, score, kernels, shape):
-        label = pse_np(kernels, self.min_area / (self.scale ** 2))
+    def boxes_from_bitmap(self, score, kernels, shape, label=None):
+        if label is None:
+            label = pse_np(kernels, self.min_area / (self.scale ** 2))
         if self.scale != 1:
             label = cv2.resize(
                 label, (self.img_w, self.img_h), interpolation=cv2.INTER_NEAREST

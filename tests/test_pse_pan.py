@@ -139,3 +139,47 @@ def test_pan_loss_and_postprocess():
     maps[0, 10:22, 10:22, 1] = 10.0  # kernel
     res = post({"maps": jnp.asarray(maps)}, [[h * 4, w * 4, 1.0, 1.0]])
     assert len(res[0]["points"]) == 1
+
+
+def test_pse_expand_device_matches_np():
+    from pytorchocr_tpu.ops.cc_label import pse_expand_device
+
+    H = W = 48
+    text = np.zeros((H, W), np.uint8)
+    text[5:15, 5:43] = 1
+    text[30:44, 5:43] = 1
+    small = np.zeros_like(text)
+    small[8:12, 10:40] = 1
+    small[34:40, 10:40] = 1
+    kernels = np.stack([text, small])
+    want = pse_np(kernels, min_area=0)
+    got = np.asarray(pse_expand_device(jnp.asarray(kernels > 0), jnp.float32(0)))
+    # same partition up to label ids: compare co-labeling structure
+    assert (want > 0).sum() == (got > 0).sum()
+    for region in [(slice(5, 15), slice(5, 43)), (slice(30, 44), slice(5, 43))]:
+        w_ids = np.unique(want[region]); g_ids = np.unique(got[region])
+        assert len(w_ids[w_ids > 0]) == 1 and len(g_ids[g_ids > 0]) == 1
+    assert got[10, 20] != got[36, 20]
+
+
+def test_pse_postprocess_device_matches_host():
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    h, w = 32, 32
+    maps = np.full((1, h, w, 7), -10.0, np.float32)
+    maps[0, 8:24, 4:28, :] = 10.0
+    shape_list = [[h * 4, w * 4, 1.0, 1.0]]
+    post_dev = build_post_process({"name": "PSEPostProcess", "thresh": 0,
+                                   "box_thresh": 0.5, "min_area": 4, "scale": 4,
+                                   "use_device_expand": True})
+    post_host = build_post_process({"name": "PSEPostProcess", "thresh": 0,
+                                    "box_thresh": 0.5, "min_area": 4, "scale": 4,
+                                    "use_device_expand": False})
+    rd = post_dev({"maps": jnp.asarray(maps)}, shape_list)
+    rh = post_host({"maps": jnp.asarray(maps)}, shape_list)
+    assert len(rd[0]["points"]) == len(rh[0]["points"]) == 1
+    np.testing.assert_allclose(
+        np.sort(np.asarray(rd[0]["points"][0]), axis=0),
+        np.sort(np.asarray(rh[0]["points"][0]), axis=0),
+        atol=2,
+    )
