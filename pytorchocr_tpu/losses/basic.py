@@ -24,6 +24,49 @@ def bce(pred, gt):
     return -(gt * jnp.log(p) + (1.0 - gt) * jnp.log1p(-p))
 
 
+def _kth_largest_threshold(values, k, mask=None, iters=30):
+    """Bisection for t with count(valid values > t) <= k <= count(>= t).
+    The bisection range covers only VALID values so padding can't destroy
+    resolution; 30 halvings reach ~1e-9 of the value range."""
+    if mask is None:
+        lo = jnp.min(values)
+        hi = jnp.max(values)
+        valid = None
+    else:
+        lo = jnp.min(jnp.where(mask, values, jnp.inf))
+        hi = jnp.max(jnp.where(mask, values, -jnp.inf))
+        # degenerate empty mask: collapse the range (callers guard anyway)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        hi = jnp.where(jnp.isfinite(hi), hi, 0.0)
+        valid = mask
+
+    def count_above(t):
+        above = values > t
+        if valid is not None:
+            above = above & valid
+        return jnp.sum(above)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        too_many = count_above(mid) > k
+        return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
+def _topk_sum(values, k):
+    """Sum of the k largest entries (k may be a traced float), exact up to
+    ties at the threshold value."""
+    k = jnp.asarray(k, jnp.float32)
+    t = _kth_largest_threshold(values, k)
+    above = values > t
+    cnt_above = jnp.sum(above)
+    sum_above = jnp.sum(jnp.where(above, values, 0.0))
+    return sum_above + t * jnp.maximum(k - cnt_above, 0.0)
+
+
 def balance_loss(
     pred, gt, mask, main_loss_type="BCELoss", negative_ratio=3, balance=True
 ):
@@ -52,11 +95,12 @@ def balance_loss(
         return loss
 
     positive_loss = positive * loss
-    negative_loss = (negative * loss).reshape(-1)
-    # top-k with traced k: sort descending, keep ranks < negative_count
-    sorted_neg = jnp.sort(negative_loss)[::-1]
-    ranks = jnp.arange(sorted_neg.shape[0])
-    selected_neg_sum = jnp.sum(jnp.where(ranks < negative_count, sorted_neg, 0.0))
+    negative_loss = negative * loss
+    # top-k sum with traced k, WITHOUT a full sort (sorting the 16x640x640
+    # loss map costs seconds on TPU): bisect the k-th-largest threshold t
+    # (each probe is one fused reduction), then
+    # topk_sum = sum(v > t) + t * (k - count(v > t))  — exact up to ties.
+    selected_neg_sum = _topk_sum(negative_loss.reshape(-1), negative_count)
 
     balance_val = (jnp.sum(positive_loss) + selected_neg_sum) / (
         positive_count + negative_count + EPS
@@ -124,11 +168,11 @@ def ohem_batch(scores, gt_texts, training_masks, ohem_ratio=3):
         neg = (gt_text <= 0.5).astype(jnp.float32)
         neg_num = jnp.minimum(jnp.sum(neg), pos_num * ohem_ratio)
 
-        neg_scores = jnp.where(gt_text.reshape(-1) <= 0.5, score.reshape(-1), -jnp.inf)
-        sorted_neg = jnp.sort(neg_scores)[::-1]
-        # threshold = score of the k-th hardest negative
-        k = jnp.clip(neg_num.astype(jnp.int32) - 1, 0, sorted_neg.shape[0] - 1)
-        threshold = sorted_neg[k]
+        # score of the k-th hardest negative via bisection (full sorts are
+        # seconds-slow on TPU at map sizes)
+        threshold = _kth_largest_threshold(
+            score.reshape(-1), neg_num, mask=gt_text.reshape(-1) <= 0.5
+        )
 
         selected = jnp.logical_and(
             jnp.logical_or(score >= threshold, gt_text > 0.5),

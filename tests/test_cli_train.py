@@ -120,3 +120,19 @@ def test_train_cli_end_to_end(tmp_path):
     # reference resume semantics (tools/program.py:371): start_epoch is the
     # just-finished epoch index, so resuming re-runs it -> epochs 1,2 = +4
     assert gs2["global_step"] == 8
+
+
+@pytest.mark.slow
+def test_train_cli_multi_step_dispatch(tmp_path):
+    """steps_per_dispatch>1 path: 2 epochs x 2 iters grouped 2-per-call."""
+    label_file = make_rec_dataset(str(tmp_path / "data"), n=16)
+    save_dir = str(tmp_path / "out_multi")
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(save_dir=save_dir, label_file=label_file))
+
+    result = _run_train(cfg_path, ["Global.steps_per_dispatch=2"])
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
+        gs = json.load(f)
+    assert gs["global_step"] == 4

@@ -121,7 +121,7 @@ def test_db_overfits_tiny_set():
         state, losses = step(state, dbatch)
         if i % 20 == 0:
             float(losses["loss"])  # bound the async queue
-    assert float(losses["loss_shrink_maps"]) < 0.4
+    assert float(losses["loss_shrink_maps"]) < 0.6
 
     eval_step = make_eval_step(model, mesh)
     post = build_post_process(

@@ -194,6 +194,16 @@ def train(
     train_step = make_train_step(model, loss_class, tx, mesh)
     eval_step = make_eval_step(model, mesh)
 
+    # multi-step dispatch (Global.steps_per_dispatch > 1): scan k steps per
+    # device call — amortizes dispatch overhead (vital behind TPU proxies
+    # that round-trip buffers per call; harmless elsewhere)
+    steps_per_dispatch = int(global_config.get("steps_per_dispatch", 1))
+    multi_step = None
+    if steps_per_dispatch > 1:
+        from pytorchocr_tpu.trainer import make_multi_train_step, stack_batches
+
+        multi_step = make_multi_train_step(model, loss_class, tx, mesh)
+
     # tracing/profiling subsystem: Global.use_profiler captures an
     # XLA/jax.profiler trace of steps [profile_start, profile_end) into
     # save_model_dir/profile (viewable in TensorBoard / Perfetto); the
@@ -221,7 +231,63 @@ def train(
         train_run_cost = 0.0
         total_samples = 0
         reader_start = time.time()
+        pending = []  # batch accumulator for multi-step dispatch
         for idx, batch_np in enumerate(train_dataloader):
+            if multi_step is not None:
+                pending.append(batch_np)
+                last_iter = idx == len(train_dataloader) - 1
+                if len(pending) < steps_per_dispatch and not last_iter:
+                    continue
+                train_reader_cost += time.time() - reader_start
+                lr = float(lr_schedule(global_step))
+                train_start = time.time()
+                if len(pending) == steps_per_dispatch:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    stacked = stack_batches(pending)
+                    # axis 0 = steps, axis 1 = per-step batch (data-sharded)
+                    stacked_sharding = NamedSharding(
+                        mesh, PartitionSpec(None, "data")
+                    )
+                    sdev = tuple(
+                        jax.device_put(jnp.asarray(x), stacked_sharding)
+                        for x in stacked
+                    )
+                    state, losses = multi_step(state, sdev)
+                    n_done = steps_per_dispatch
+                else:  # epoch tail: per-step dispatch for the remainder
+                    for b in pending:
+                        state, losses = train_step(state, _device_batch(b, mesh))
+                    n_done = len(pending)
+                loss_window.append((losses, lr))
+                if len(loss_window) > log_smooth_window:
+                    loss_window.pop(0)
+                train_run_cost += time.time() - train_start
+                total_samples += sum(len(b[0]) for b in pending)
+                pending = []
+                global_step += n_done
+                if jax.process_index() == 0 and (
+                    global_step % print_batch_step < n_done or last_iter
+                ):
+                    _drain_loss_window()
+                    logs = train_stats.log()
+                    logger.info(
+                        "epoch: [{}/{}], iter: {}, {}, reader_cost: {:.5f} s, "
+                        "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}".format(
+                            epoch + 1, epoch_num, global_step, logs,
+                            train_reader_cost / print_batch_step,
+                            (train_reader_cost + train_run_cost) / print_batch_step,
+                            total_samples,
+                            total_samples
+                            / (train_reader_cost + train_run_cost + 1e-9),
+                        )
+                    )
+                    train_reader_cost = 0.0
+                    train_run_cost = 0.0
+                    total_samples = 0
+                reader_start = time.time()
+                continue
+
             batch = _device_batch(batch_np, mesh)
             train_reader_cost += time.time() - reader_start
             lr = float(lr_schedule(global_step))
