@@ -29,7 +29,12 @@ class TrainState(struct.PyTreeNode):
 def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
     """Initialize params/batch_stats from an example batch (host numpy)."""
     images = jnp.asarray(example_batch[0])
-    data = tuple(jnp.asarray(x) for x in example_batch[1:]) or None
+    # heads receive the FULL positional batch as `data` (same contract as
+    # make_train_step; e.g. SLAHead reads targets[1] = structure tokens)
+    data = tuple(
+        jnp.asarray(x) if isinstance(x, np.ndarray) or np.isscalar(x) else x
+        for x in example_batch
+    )
     variables = model.init(rng, images, data=data, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})

@@ -76,3 +76,39 @@ def make_det_dataset(root, n=8, size=320, seed=0):
     with open(label_file, "w") as f:
         f.write("\n".join(lines) + "\n")
     return label_file
+
+
+def make_pubtab_dataset(root, n=8, size=96, seed=0):
+    """JSON-line PubTabNet-style dataset: 2x2 tables with cell bboxes."""
+    import json as _json
+
+    rng = random.Random(seed)
+    os.makedirs(root, exist_ok=True)
+    lines = []
+    tokens = ["<thead>", "<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>",
+              "</thead>", "<tbody>", "<tr>", "<td>", "</td>", "<td>", "</td>",
+              "</tr>", "</tbody>"]
+    for i in range(n):
+        img = Image.new("RGB", (size, size), (255, 255, 255))
+        d = ImageDraw.Draw(img)
+        cells = []
+        for r in range(2):
+            for c in range(2):
+                x0, y0 = 8 + c * 44, 8 + r * 44
+                x1, y1 = x0 + 36, y0 + 36
+                d.rectangle([x0, y0, x1, y1], outline=(0, 0, 0))
+                d.text((x0 + 4, y0 + 4), str(rng.randint(0, 99)), fill=(0, 0, 0))
+                cells.append({
+                    "tokens": ["x"],
+                    "bbox": [x0, y0, x1, y0, x1, y1, x0, y1],
+                })
+        path = os.path.join(root, "tab_%04d.png" % i)
+        img.save(path)
+        lines.append(_json.dumps({
+            "img_path": path,
+            "html": {"cells": cells, "structure": {"tokens": tokens}},
+        }, ensure_ascii=False))
+    label_file = os.path.join(root, "tab_label.jsonl")
+    with open(label_file, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return label_file

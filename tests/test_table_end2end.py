@@ -1,0 +1,126 @@
+"""SLANet table vertical slice: PubTabDataSet -> TableLabelEncode/BoxEncode
+-> PPLCNet+CSPPAN+SLAHead -> SLALoss -> train steps -> TableLabelDecode ->
+TableMetric."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pytorchocr_tpu.data import build_dataloader
+from pytorchocr_tpu.losses import build_loss
+from pytorchocr_tpu.metrics import build_metric
+from pytorchocr_tpu.modeling import build_model
+from pytorchocr_tpu.optimizer import build_optimizer
+from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch
+from pytorchocr_tpu.postprocess import build_post_process
+from pytorchocr_tpu.trainer import create_train_state, make_eval_step, make_train_step
+from pytorchocr_tpu.utils import get_logger
+from pytorchocr_tpu.utils.config import _to_attrdict
+
+from synth import make_pubtab_dataset
+
+MAX_LEN = 24
+DICT_PATH = "pytorchocr_tpu/utils/table_structure_dict_ch.txt"
+
+
+def table_config(label_file):
+    transforms = [
+        {"DecodeImage": {"img_mode": "RGB"}},
+        {"TableLabelEncode": {
+            "learn_empty_box": False,
+            "merge_no_span_structure": True,
+            "replace_empty_cell_token": False,
+            "loc_reg_num": 8,
+            "max_text_length": MAX_LEN,
+        }},
+        {"ResizeTableImage": {"max_len": 96, "use_padding": True}},
+        {"TableBoxEncode": {"in_box_format": "xyxyxyxy", "out_box_format": "xyxyxyxy"}},
+        {"ToTensor": None},
+        {"Normalize": {"mean": [0.485, 0.456, 0.406], "std": [0.229, 0.224, 0.225]}},
+        {"KeepKeys": {"keep_keys": ["image", "structure", "bboxes", "bbox_masks", "shape"]}},
+    ]
+    ds = {
+        "name": "PubTabDataSet",
+        "label_file_list": [label_file],
+        "transforms": transforms,
+    }
+    return _to_attrdict(
+        {
+            "Global": {
+                "distributed": False,
+                "seed": 5,
+                "character_dict_path": DICT_PATH,
+                "max_text_length": MAX_LEN,
+            },
+            "Architecture": {
+                "model_type": "table",
+                "algorithm": "SLANet",
+                "Transform": None,
+                "Backbone": {"name": "PPLCNet", "scale": 0.5},
+                "Neck": {"name": "CSPPAN", "out_channels": 32, "mode": "table"},
+                "Head": {"name": "SLAHead", "hidden_size": 32,
+                         "max_text_length": MAX_LEN, "loc_reg_num": 8},
+            },
+            "Loss": {"name": "SLALoss", "structure_weight": 1.0,
+                     "loc_weight": 2.0, "loc_loss_type": "smooth_l1"},
+            "Optimizer": {"base_lr": 0.001, "optim": {"name": "Adam"}},
+            "PostProcess": {"name": "TableLabelDecode",
+                            "merge_no_span_structure": True},
+            "Metric": {"name": "TableMetric", "main_indicator": "acc",
+                       "compute_bbox_metric": False, "del_thead_tbody": True},
+            "Train": {"dataset": ds, "loader": {"shuffle": True,
+                      "batch_size_per_card": 8, "drop_last": True,
+                      "num_workers": 2}},
+            "Eval": {"dataset": ds, "loader": {"shuffle": False,
+                     "batch_size_per_card": 8, "drop_last": False,
+                     "num_workers": 2}},
+        }
+    )
+
+
+def test_table_end_to_end(tmp_path):
+    label_file = make_pubtab_dataset(str(tmp_path))
+    config = table_config(label_file)
+    logger = get_logger("test_table")
+
+    loader, _ = build_dataloader(config, "Train", logger, seed=5)
+    post = build_post_process(config["PostProcess"], config["Global"])
+    char_num = len(post.character)
+    config["Architecture"]["Head"]["out_channels"] = char_num
+
+    batches = list(loader)
+    b = batches[0]
+    image, structure, bboxes, bbox_masks, shape = b
+    assert image.shape == (8, 96, 96, 3)
+    assert structure.shape == (8, MAX_LEN + 2)
+    assert bboxes.shape == (8, MAX_LEN + 2, 8)
+    # normalized bbox targets in [0, 1]
+    assert bboxes.min() >= 0 and bboxes.max() <= 1.0
+    assert bbox_masks.sum() == 8 * 4  # four <td></td> cells per sample
+
+    model = build_model(config["Architecture"])
+    loss_fn = build_loss(config["Loss"])
+    tx, _ = build_optimizer(config["Optimizer"], epochs=1, step_each_epoch=1)
+    mesh = create_mesh()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), b)
+    step = make_train_step(model, loss_fn, tx, mesh)
+    db = tuple(shard_batch(jnp.asarray(x), mesh) for x in b)
+    for i in range(3):
+        state, losses = step(state, db)
+    assert np.isfinite(float(losses["loss"]))
+    assert np.isfinite(float(losses["structure_loss"]))
+    assert np.isfinite(float(losses["loc_loss"]))
+
+    # eval: greedy decode + metric plumbing
+    eval_step = make_eval_step(model, mesh)
+    preds = eval_step(state.params, state.batch_stats, jnp.asarray(b[0]))
+    assert preds["structure_probs"].shape == (8, MAX_LEN + 1, char_num)
+    post_result = post(
+        {"structure_probs": preds["structure_probs"], "loc_preds": preds["loc_preds"]},
+        list(b),
+    )
+    metric = build_metric(config["Metric"])
+    metric(post_result, b)
+    out = metric.get_metric()
+    assert 0.0 <= out["acc"] <= 1.0
