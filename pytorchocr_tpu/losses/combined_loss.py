@@ -1,8 +1,6 @@
 """Weighted combination of sub-losses from config
 (reference pytocr/losses/combined_loss.py:13-56)."""
 
-import jax.numpy as jnp
-
 from .distillation_loss import (
     DistillationCTCLoss,
     DistillationDBLoss,

@@ -6,17 +6,15 @@ step is the forward in eval mode.  Batches are sharded over the mesh's
 "data" axis; state is replicated; buffers are donated.
 """
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from flax.core import freeze, unfreeze
 
-from .parallel.mesh import batch_sharding, replicated_sharding, shard_batch
+from .parallel.mesh import batch_sharding, replicated_sharding
 
 
 class TrainState(struct.PyTreeNode):
@@ -45,19 +43,6 @@ def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
         opt_state=opt_state,
         step=jnp.zeros((), jnp.int32),
     )
-
-
-def make_frozen_mask(params, frozen_prefixes):
-    """optax.masked-style mask: False (no update) for frozen param subtrees
-    (DistillationModel freeze_params)."""
-    if not frozen_prefixes:
-        return None
-
-    def mask_subtree(path_prefix, tree):
-        frozen = any(path_prefix == p or path_prefix.startswith(p) for p in frozen_prefixes)
-        return jax.tree.map(lambda _: not frozen, tree)
-
-    return {k: mask_subtree(k, v) for k, v in params.items()}
 
 
 def make_train_step(model, loss_fn, tx, mesh, donate=True):
@@ -196,20 +181,3 @@ def make_eval_step(model, mesh):
     # shard_or_replicate().
     return jax.jit(eval_fn)
 
-
-def to_device_batch(batch, mesh):
-    """numpy batch list -> tuple of sharded jnp arrays (non-array fields are
-    passed through untouched so losses relying on positions still work)."""
-    arrays = []
-    for item in batch:
-        if isinstance(item, np.ndarray) and item.dtype != object:
-            arrays.append(item)
-        else:
-            arrays.append(item)
-    device_items = []
-    for item in arrays:
-        if isinstance(item, np.ndarray) and item.dtype != object:
-            device_items.append(shard_batch(item, mesh))
-        else:
-            device_items.append(item)
-    return tuple(device_items)
