@@ -35,6 +35,7 @@ class _ConvRelu(nn.Module):
     model_name: str
     n_out: int
     bn: bool
+    leaky_relu: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,7 +49,7 @@ class _ConvRelu(nn.Module):
                 padding=_PS_V1[i],
                 use_bias=True,
                 use_bn=self.bn,
-                act="relu",
+                act="leakyrelu0.2" if self.leaky_relu else "relu",  # torch slope 0.2 (rec_vgg.py:57)
                 dtype=self.dtype,
                 name="conv%d" % i,
             )(x, train)
@@ -97,6 +98,7 @@ class VGG(nn.Module):
     in_channels: int = 3
     model_name: str = "v1"
     scale: float = 1.0
+    leaky_relu: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -112,9 +114,10 @@ class VGG(nn.Module):
         mn = self.model_name
 
         def stage(i, x, bn=False):
-            return _ConvRelu(i, mn, nm[i], bn, dtype=self.dtype, name="stage%d" % i)(
-                x, train
-            )
+            return _ConvRelu(
+                i, mn, nm[i], bn, leaky_relu=self.leaky_relu,
+                dtype=self.dtype, name="stage%d" % i,
+            )(x, train)
 
         x = stage(0, x)
         if mn == "v1":

@@ -40,6 +40,7 @@ ACTS = {
     "hsigmoid": hard_sigmoid,
     "hardsigmoid": hard_sigmoid,
     "leakyrelu": lambda x: nn.leaky_relu(x, 0.01),
+    "leakyrelu0.2": lambda x: nn.leaky_relu(x, 0.2),
     "gelu": nn.gelu,
     "swish": nn.swish,
     "sigmoid": nn.sigmoid,
