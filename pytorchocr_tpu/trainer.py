@@ -45,27 +45,35 @@ def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
     )
 
 
-def make_train_step(model, loss_fn, tx, mesh, donate=True):
+def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False):
     """Build the jitted train step.
 
     batch is a tuple of arrays; batch[0] is the NHWC image tensor; the loss
     consumes (preds, batch) with the reference's positional contract.
+    remat=True rematerializes the forward during backward (jax.checkpoint)
+    — trades ~30% step FLOPs for activation memory, enabling larger
+    batches/resolutions per chip.
     """
 
     def step_fn(state: TrainState, batch):
         images = batch[0]
 
-        def loss_inner(params):
+        def forward(params, images, batch):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
-                preds, mutated = model.apply(
+                return model.apply(
                     variables, images, data=batch, train=True, mutable=["batch_stats"]
                 )
-                new_bs = mutated["batch_stats"]
-            else:
-                preds = model.apply(variables, images, data=batch, train=True)
-                new_bs = state.batch_stats
+            return model.apply(variables, images, data=batch, train=True), None
+
+        fwd = jax.checkpoint(forward) if remat else forward
+
+        def loss_inner(params):
+            preds, mutated = fwd(params, images, batch)
+            new_bs = (
+                mutated["batch_stats"] if mutated is not None else state.batch_stats
+            )
             losses = loss_fn(preds, batch)
             return losses["loss"], (losses, new_bs)
 

@@ -191,7 +191,9 @@ def train(
 
     model_type = config["Architecture"].get("model_type", None)
 
-    train_step = make_train_step(model, loss_class, tx, mesh)
+    # Global.remat: rematerialize the forward in backward (jax.checkpoint)
+    remat = bool(global_config.get("remat", False))
+    train_step = make_train_step(model, loss_class, tx, mesh, remat=remat)
     eval_step = make_eval_step(model, mesh)
 
     # multi-step dispatch (Global.steps_per_dispatch > 1): scan k steps per
