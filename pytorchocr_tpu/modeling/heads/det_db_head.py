@@ -17,19 +17,18 @@ __all__ = ["DBHead"]
 
 
 def _upconv2x(x, features, dtype, name):
-    """2x2-stride-2 transposed conv, expressed as a 1x1 conv to 4*features +
-    depth-to-space — mathematically identical parameterization
-    (out[2i+di, 2j+dj, o] = sum_c x[i,j,c] * K[(di,dj),c,o] + b) but lowers
-    to a plain MXU matmul instead of XLA's dilated-input deconv (~3x faster
-    at DB-head shapes on v5e)."""
-    n, h, w, _ = x.shape
-    y = nn.Conv(
-        4 * features, (1, 1), use_bias=True, kernel_init=kaiming_normal,
-        dtype=dtype, param_dtype=jnp.float32, name=name,
+    """2x2-stride-2 transposed conv.
+
+    NOTE: a 1x1-conv-to-4C + depth-to-space formulation is mathematically
+    the same function class and ~9% faster on v5e, but measurably degrades
+    optimization on this head (overfit experiments plateau at 2x the loss)
+    — likely an initialization/conditioning effect — so the deconv
+    parameterization is kept."""
+    return nn.ConvTranspose(
+        features, (2, 2), strides=(2, 2), use_bias=True,
+        kernel_init=kaiming_normal, dtype=dtype, param_dtype=jnp.float32,
+        name=name,
     )(x)
-    y = y.reshape(n, h, w, 2, 2, features)
-    y = y.transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(n, 2 * h, 2 * w, features)
 
 
 class _Tower(nn.Module):
