@@ -95,8 +95,27 @@ class CTCLabelDecode(BaseRecLabelDecode):
             isinstance(preds, tuple) and len(preds) != 2
         ):
             preds = preds[-1]
-        preds_idx, preds_prob = _to_idx_prob(preds)
-        text = self.decode(preds_idx, preds_prob, is_remove_duplicate=True)
+        if hasattr(preds, "device") and getattr(preds, "ndim", 0) == 3:
+            # device fast path: dedup-collapse + blank removal ON DEVICE;
+            # only (codes, lengths, conf) cross to host (the reference loops
+            # over every timestep in Python, rec_postprocess.py:35-59)
+            from pytorchocr_tpu.ops.ctc_decode import ctc_greedy_collapse
+
+            max_len = min(int(preds.shape[1]), 128)
+            codes, lengths, conf = ctc_greedy_collapse(preds, max_len=max_len)
+            codes = np.asarray(codes)
+            lengths = np.asarray(lengths)
+            conf = np.asarray(conf)
+            text = [
+                (
+                    "".join(self.character[c] for c in codes[i, : lengths[i]]),
+                    float(conf[i]),
+                )
+                for i in range(codes.shape[0])
+            ]
+        else:
+            preds_idx, preds_prob = _to_idx_prob(preds)
+            text = self.decode(preds_idx, preds_prob, is_remove_duplicate=True)
         if label is None:
             return text
         label = self.decode(np.asarray(label))

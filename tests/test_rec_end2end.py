@@ -164,3 +164,25 @@ def test_ctc_decode_golden():
     # runs: 1,1 -> '0'; blank; 1 -> '0'; 2,2 -> '1'; blank; 11 -> 'a'
     assert out[0][0] == "0" + "0" + "1" + "a"
     assert abs(out[0][1] - 1.0) < 1e-6
+
+
+def test_ctc_device_collapse_matches_host():
+    """Device greedy collapse == the host per-timestep decode on random and
+    adversarial (repeat/blank-boundary) sequences."""
+    from pytorchocr_tpu.ops.ctc_decode import ctc_greedy_collapse
+    from pytorchocr_tpu.postprocess.rec_postprocess import CTCLabelDecode
+
+    dec = CTCLabelDecode(character_dict_path=None)
+    rng = np.random.RandomState(0)
+    N, T, C = 16, 40, 37
+    logits = rng.randn(N, T, C).astype(np.float32)
+    # make repeats and blanks common
+    logits[:, :, 0] += 1.0
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+
+    host = dec.decode(probs.argmax(2), probs.max(2), is_remove_duplicate=True)
+    dev = dec(jnp.asarray(probs))
+    assert [t for t, _ in host] == [t for t, _ in dev]
+    for (_, ph), (_, pd) in zip(host, dev):
+        if not np.isnan(ph):
+            assert abs(ph - pd) < 1e-5
