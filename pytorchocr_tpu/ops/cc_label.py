@@ -31,8 +31,8 @@ def connected_components(binary, max_labels=1024):
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     labels = jnp.where(binary, idx, 0)
 
-    # fixpoint 4-neighbor max spreading: VMEM-resident Pallas kernel when
-    # the map fits the budget, XLA roll/max loop otherwise
+    # fixpoint 4-neighbor max spreading: Pallas VMEM kernel (tiled over row
+    # bands for big maps), XLA roll/max fallback (ops/pallas_propagate.py)
     from .pallas_propagate import spread_labels_fixpoint
 
     labels = spread_labels_fixpoint(labels, binary, fill_only=False)
@@ -113,7 +113,8 @@ def db_front_half(prob, thresh=0.3, max_labels=1024):
     )
     bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
     return {
-        "labels": labels,
+        # int16 halves the device->host transfer (components <= max_labels)
+        "labels": labels.astype(jnp.int16),
         "num": num,
         "count": count,
         "score": score,

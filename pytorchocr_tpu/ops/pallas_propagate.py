@@ -110,15 +110,58 @@ def propagate_rounds_pallas(labels, mask, fill_only=True):
     return out, changed[0] > 0
 
 
+def _band_rows(h, w):
+    """Largest row-band (multiple of 8 sublanes) fitting the VMEM budget."""
+    max_rows = _VMEM_BUDGET // (w * 4 * 6)
+    return max(8, (max_rows // 8) * 8)
+
+
+@functools.partial(jax.jit, static_argnames=("fill_only",))
+def _spread_fixpoint_tiled(labels, mask, fill_only=True):
+    """Row-band-tiled Pallas fixpoint for maps over the single-call VMEM
+    budget: each outer round sweeps the bands (1-row halo on each side, 16
+    VMEM-resident propagation rounds per band) until nothing changes.
+    Components crossing band boundaries converge over a few outer sweeps."""
+    h, w = labels.shape
+    band = _band_rows(h, w)
+    n_bands = -(-h // band)
+    pad_h = n_bands * band
+    labels = jnp.pad(labels, ((0, pad_h - h), (0, 0)))
+    mask = jnp.pad(mask, ((0, pad_h - h), (0, 0)))
+
+    def sweep(state):
+        lbl, _ = state
+        changed = jnp.bool_(False)
+        for b in range(n_bands):
+            start = max(b * band - 1, 0)
+            stop = min((b + 1) * band + 1, pad_h)
+            rows = stop - start
+            seg = jax.lax.dynamic_slice(lbl, (start, 0), (rows, w))
+            mseg = jax.lax.dynamic_slice(mask, (start, 0), (rows, w))
+            new_seg, ch = propagate_rounds_pallas(seg, mseg, fill_only)
+            lbl = jax.lax.dynamic_update_slice(lbl, new_seg, (start, 0))
+            changed = changed | ch
+        return lbl, changed
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(cond, sweep, sweep((labels, jnp.bool_(True))))
+    return labels[:h]
+
+
 @functools.partial(jax.jit, static_argnames=("fill_only",))
 def spread_labels_fixpoint(labels, mask, fill_only=True):
     """Fixpoint spreading: Pallas inner kernel (16 rounds per HBM pass)
-    when the map fits the VMEM budget, else the plain XLA loop.
+    when the map fits the VMEM budget, row-band-tiled Pallas above it, and
+    the plain XLA loop when Pallas is unavailable.
 
     fill_only=True: unlabeled masked pixels take neighbor labels (PSE/PAN
     expansion).  fill_only=False: all masked pixels take the neighborhood
     max each round (connected-component labeling)."""
     if not pallas_available(labels.shape):
+        if _HAVE_PALLAS and labels.shape[1] * 4 * 6 * 16 < _VMEM_BUDGET:
+            return _spread_fixpoint_tiled(labels, mask, fill_only=fill_only)
         from .propagate import spread_labels_jax
 
         return spread_labels_jax(labels, mask, fill_only=fill_only)

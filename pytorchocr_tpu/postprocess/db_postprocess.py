@@ -104,10 +104,16 @@ class DBPostProcess:
 
         res_batch = []
         height, width = prob.shape[1], prob.shape[2]
-        for batch_index in range(prob.shape[0]):
-            stats = db_front_half(
-                prob_for_cc[batch_index], self.thresh, max_labels=self.max_candidates
+        # dispatch every image's front-half first so device compute and
+        # host transfers overlap across the batch
+        all_stats = [
+            db_front_half(
+                prob_for_cc[i], self.thresh, max_labels=self.max_candidates
             )
+            for i in range(prob.shape[0])
+        ]
+        for batch_index in range(prob.shape[0]):
+            stats = all_stats[batch_index]
             labels = np.asarray(stats["labels"])
             count = np.asarray(stats["count"])
             score_arr = np.asarray(stats["score"])
