@@ -74,6 +74,84 @@ def pse_expand_device(kernels, min_area, max_labels=1024):
 
 
 @partial(jax.jit, static_argnames=("max_labels",))
+def pa_aggregate_device(kernels, emb, min_area, max_labels=256, emb_thresh=3.0):
+    """On-device pixel aggregation (pa.pyx semantics):
+
+    kernels (2, H, W) bool = [text, kernel]; emb (D, H, W).
+    CC on kernel -> min-area filter -> pairwise extreme-area-ratio flags
+    within the same text CC (segment reductions + one (L, L) table) ->
+    gated fill spreading into the text region: a pixel may take a
+    neighboring label only if the label is unflagged or its embedding is
+    within `emb_thresh` of the label's kernel-mean embedding.
+    """
+    text_mask = kernels[0]
+    labels, _ = connected_components(kernels[1], max_labels)
+    h, w = labels.shape
+    flat = labels.reshape(-1)
+
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(flat, dtype=jnp.float32), flat, num_segments=max_labels
+    )
+    valid = (counts >= min_area).at[0].set(False)
+    labels = jnp.where(valid[labels], labels, 0)
+    flat = labels.reshape(-1)
+
+    # text-CC id of each label (labels live inside text components)
+    cc_text, _ = connected_components(text_mask, max_labels * 4)
+    text_of = jax.ops.segment_max(
+        cc_text.reshape(-1), flat, num_segments=max_labels
+    )
+
+    # mean kernel embedding per label
+    emb_flat = emb.reshape(emb.shape[0], -1)  # (D, HW)
+    sums = jax.ops.segment_sum(emb_flat.T, flat, num_segments=max_labels)
+    mean_emb = sums / jnp.maximum(counts, 1.0)[:, None]  # (L, D)
+
+    # extreme area-ratio pairs within one text CC set the embedding gate
+    max_rate = 1024.0
+    rate = counts[:, None] / jnp.maximum(counts[None, :], 1.0)
+    extreme = (rate > max_rate) | (rate < 1.0 / max_rate)
+    same_cc = text_of[:, None] == text_of[None, :]
+    pair = (
+        valid[:, None]
+        & valid[None, :]
+        & same_cc
+        & extreme
+        & ~jnp.eye(max_labels, dtype=bool)
+    )
+    flag = jnp.any(pair, axis=1)
+
+    # gated fill spreading
+    row = jnp.arange(h)[:, None]
+    col = jnp.arange(w)[None, :]
+    emb_hw = jnp.moveaxis(emb, 0, -1)  # (H, W, D)
+
+    def one_round(state):
+        lbl, _ = state
+        best = jnp.zeros_like(lbl)
+        for dx, dy, vmask in (
+            (1, 0, row > 0),
+            (-1, 0, row < h - 1),
+            (0, 1, col > 0),
+            (0, -1, col < w - 1),
+        ):
+            nb = jnp.where(vmask, jnp.roll(lbl, (dx, dy), axis=(0, 1)), 0)
+            dist = jnp.linalg.norm(emb_hw - mean_emb[nb], axis=-1)
+            ok = (nb > 0) & (~flag[nb] | (dist <= emb_thresh))
+            best = jnp.maximum(best, jnp.where(ok, nb, 0))
+        new = jnp.where((lbl == 0) & text_mask, best, lbl)
+        return new, jnp.any(new != lbl)
+
+    def cond(state):
+        return state[1]
+
+    labels, _ = jax.lax.while_loop(
+        cond, lambda s: one_round((s[0], False)), one_round((labels, True))
+    )
+    return labels
+
+
+@partial(jax.jit, static_argnames=("max_labels",))
 def db_front_half(prob, thresh=0.3, max_labels=1024):
     """Device front-half of DBPostProcess for one (H, W) prob map.
 

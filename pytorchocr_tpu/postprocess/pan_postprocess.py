@@ -21,8 +21,12 @@ class PANPostProcess:
         min_kernel_area=2.6,
         scale=4,
         out_polygon=False,
+        use_device_aggregate=True,
         **kwargs
     ):
+        # on-device gated pixel aggregation (ops/cc_label.py); host numpy
+        # fallback kept for parity checks
+        self.use_device_aggregate = use_device_aggregate
         self.thresh = thresh
         self.box_thresh = box_thresh
         self.min_area = min_area
@@ -47,6 +51,21 @@ class PANPostProcess:
         kernels = kernels.at[..., 1:2].set(kernels[..., 1:2] * text_mask)
         emb = pred[..., 2:] * text_mask
 
+        labels_dev = None
+        if self.use_device_aggregate:
+            from pytorchocr_tpu.ops.cc_label import pa_aggregate_device
+
+            kb = jnp.transpose(kernels > 0, (0, 3, 1, 2))  # (N, 2, H, W)
+            eb = jnp.transpose(emb, (0, 3, 1, 2))  # (N, 4, H, W)
+            labels_dev = [
+                np.asarray(
+                    pa_aggregate_device(
+                        kb[i], eb[i], jnp.float32(self.min_kernel_area)
+                    )
+                )
+                for i in range(kb.shape[0])
+            ]
+
         score = np.asarray(score, dtype=np.float32)
         kernels = np.asarray(kernels, dtype=np.uint8)
         emb = np.asarray(emb, dtype=np.float32)
@@ -58,12 +77,14 @@ class PANPostProcess:
                 kernels[batch_index].transpose(2, 0, 1),  # (2, H, W)
                 emb[batch_index].transpose(2, 0, 1),  # (4, H, W)
                 shape_list[batch_index],
+                label=None if labels_dev is None else labels_dev[batch_index],
             )
             res_batch.append({"points": boxes, "scores": scores})
         return res_batch
 
-    def boxes_from_bitmap(self, score, kernels, emb, shape):
-        label = pa_np(kernels, emb, self.min_kernel_area)
+    def boxes_from_bitmap(self, score, kernels, emb, shape, label=None):
+        if label is None:
+            label = pa_np(kernels, emb, self.min_kernel_area)
         if self.scale != 1:
             label = cv2.resize(
                 label.astype(np.int32),

@@ -183,3 +183,48 @@ def test_pse_postprocess_device_matches_host():
         np.sort(np.asarray(rh[0]["points"][0]), axis=0),
         atol=2,
     )
+
+
+def test_pa_device_matches_np():
+    from pytorchocr_tpu.ops.cc_label import pa_aggregate_device
+
+    H, W = 24, 64
+    text = np.zeros((H, W), np.uint8)
+    text[4:20, 4:30] = 1
+    text[4:20, 34:60] = 1
+    kernel = np.zeros_like(text)
+    kernel[8:16, 8:26] = 1
+    kernel[8:16, 38:56] = 1
+    emb = np.random.RandomState(0).rand(4, H, W).astype(np.float32)
+    kernels = np.stack([text, kernel])
+    want = pa_np(kernels, emb, min_area=0)
+    got = np.asarray(
+        pa_aggregate_device(jnp.asarray(kernels > 0), jnp.asarray(emb), jnp.float32(0))
+    )
+    assert (want > 0).sum() == (got > 0).sum()
+    # two instances, each filling its text region
+    assert got[10, 10] > 0 and got[10, 40] > 0 and got[10, 10] != got[10, 40]
+    assert (got[4:20, 4:30] == got[10, 10]).all()
+    assert (got[4:20, 34:60] == got[10, 40]).all()
+
+
+def test_pan_postprocess_device_matches_host():
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    h, w = 32, 32
+    maps = np.full((1, h, w, 6), -10.0, np.float32)
+    maps[0, 8:24, 4:28, 0] = 10.0
+    maps[0, 10:22, 8:24, 1] = 10.0
+    shape_list = [[h * 4, w * 4, 1.0, 1.0]]
+    kwargs = {"name": "PANPostProcess", "thresh": 0, "box_thresh": 0.5,
+              "min_area": 4, "min_kernel_area": 2.6, "scale": 4}
+    rd = build_post_process({**kwargs, "use_device_aggregate": True})(
+        {"maps": jnp.asarray(maps)}, shape_list)
+    rh = build_post_process({**kwargs, "use_device_aggregate": False})(
+        {"maps": jnp.asarray(maps)}, shape_list)
+    assert len(rd[0]["points"]) == len(rh[0]["points"]) == 1
+    np.testing.assert_allclose(
+        np.sort(np.asarray(rd[0]["points"][0]), axis=0),
+        np.sort(np.asarray(rh[0]["points"][0]), axis=0),
+        atol=2,
+    )
