@@ -1,0 +1,105 @@
+"""Coverage for remaining small surfaces: Attn/Distillation decoders,
+TableMetric bbox path, padded-resize rescale, sort_boxes, top-level API."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def test_attn_label_decode_eos():
+    from pytorchocr_tpu.postprocess.rec_postprocess import AttnLabelDecode
+
+    dec = AttnLabelDecode(character_dict_path=None)
+    # dict: [sos] 0-9a-z [eos]; eos idx = 37
+    C = len(dec.character)
+    T = 6
+    probs = np.zeros((1, T, C), np.float32)
+    seq = [1, 2, dec.dict["eos"], 5, 5, 5]  # decode must stop at eos
+    for t, c in enumerate(seq):
+        probs[0, t, c] = 1.0
+    out = dec(probs)
+    assert out[0][0] == "01"
+
+
+def test_distillation_ctc_label_decode():
+    from pytorchocr_tpu.postprocess.rec_postprocess import DistillationCTCLabelDecode
+
+    dec = DistillationCTCLabelDecode(
+        character_dict_path=None, model_name=["Student", "Student2"]
+    )
+    probs = np.zeros((1, 4, 40), np.float32)
+    probs[0, 0, 1] = 1.0
+    probs[0, 1:, 0] = 1.0
+    preds = {"Student": probs, "Student2": probs}
+    out = dec(preds)
+    assert out["Student"][0][0] == "0" and out["Student2"][0][0] == "0"
+
+
+def test_table_metric_bbox_path():
+    from pytorchocr_tpu.metrics import build_metric
+
+    metric = build_metric(
+        {"name": "TableMetric", "main_indicator": "acc",
+         "compute_bbox_metric": True, "box_format": "xyxy"}
+    )
+    preds = {
+        "structure_batch_list": [[["<tr>", "<td>", "</td>", "</tr>"], 0.9]],
+        "bbox_batch_list": [[np.array([0, 0, 10, 10], np.float32)]],
+    }
+    labels = {
+        "structure_batch_list": [["<tr>", "<td>", "</td>", "</tr>"]],
+        "bbox_batch_list": [[np.array([0, 0, 10, 10], np.float32)]],
+    }
+    metric((preds, labels))
+    out = metric.get_metric()
+    assert out["acc"] > 0.99
+    assert "bbox_metric_hmean" in out
+    assert out["bbox_metric_hmean"] > 0.99
+
+
+def test_db_padding_resize_rescale():
+    """use_padding_resize inverse-affine path (reference transform_preds)."""
+    from pytorchocr_tpu.postprocess.db_postprocess import DBPostProcess
+
+    prob = np.zeros((1, 128, 128, 1), np.float32)
+    # the source image is 200x100 padded into the 128-square: content scale
+    # = 128/200; a blob placed where a (40..120)x(20..40) source box lands
+    sx = 128 / 200.0
+    x0, x1 = int(40 * sx), int(120 * sx)
+    y0, y1 = int((20 + 50) * sx), int((40 + 50) * sx)  # y offset (200-100)/2
+    prob[0, y0:y1, x0:x1, 0] = 0.9
+    post = DBPostProcess(thresh=0.3, box_thresh=0.3, unclip_ratio=1.0,
+                         score_mode="box")
+    res = post({"maps": prob}, [[100, 200, sx, sx]], use_padding_resize=True)
+    assert len(res[0]["points"]) == 1
+    box = np.asarray(res[0]["points"][0])
+    # mapped back into the 200x100 source frame
+    assert 20 <= box[:, 0].min() <= 60 and 100 <= box[:, 0].max() <= 140
+    assert 5 <= box[:, 1].min() <= 35 and 25 <= box[:, 1].max() <= 55
+
+
+def test_sort_boxes_reading_order():
+    from pytorchocr_tpu.utils.utility import sort_boxes
+
+    boxes = np.array([
+        [[50, 12], [90, 12], [90, 30], [50, 30]],   # line 1 right
+        [[10, 10], [40, 10], [40, 30], [10, 30]],   # line 1 left
+        [[10, 60], [40, 60], [40, 80], [10, 80]],   # line 2
+    ], np.float32)
+    out = sort_boxes(boxes)
+    assert out[0][0][0] == 10 and out[0][0][1] == 10
+    assert out[1][0][0] == 50
+    assert out[2][0][1] == 60
+
+
+def test_top_level_api():
+    import pytorchocr_tpu as m
+
+    model = m.build_model(
+        {"model_type": "cls", "algorithm": "CLS", "Transform": None,
+         "Backbone": {"name": "MobileNetV3", "model_name": "small",
+                      "width_mult": 0.35},
+         "Neck": None, "Head": {"name": "ClsHead", "class_dim": 2}}
+    )
+    assert model is not None
+    assert m.build_metric({"name": "ClsMetric"}).main_indicator == "acc"
