@@ -127,7 +127,9 @@ class ArgsParser(argparse.ArgumentParser):
 
 def save_config(config, path):
     """Dump the resolved config to the run directory (tools/program.py:483)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    dirname = os.path.dirname(path)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
 
     def plain(obj):
         if isinstance(obj, dict):
