@@ -136,3 +136,95 @@ def test_train_cli_multi_step_dispatch(tmp_path):
     with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
         gs = json.load(f)
     assert gs["global_step"] == 4
+
+
+DET_CFG = """
+Global:
+  use_gpu: False
+  distributed: False
+  use_amp: False
+  seed: 3
+  epoch_num: 2
+  log_smooth_window: 5
+  print_batch_step: 1
+  save_model_dir: {save_dir}
+  ckpt_save_type: HighestAcc
+  save_epoch_step: 100
+  eval_epoch_step: [0, 2]
+  cal_metric_during_train: False
+  pretrained_model:
+  checkpoints:
+  use_tensorboard: False
+Architecture:
+  model_type: det
+  algorithm: DB
+  Transform:
+  Backbone: {{name: MobileNetV3, model_name: small, width_mult: 0.5, use_se: False}}
+  Neck: {{name: FPN, out_channels: 48, mode: DB}}
+  Head: {{name: DBHead, k: 50}}
+Loss:
+  name: DBLoss
+  balance_loss: True
+  main_loss_type: BCELoss
+  alpha: 1
+  beta: 10
+  ohem_ratio: 3
+Optimizer:
+  base_lr: 0.001
+  optim: {{name: Adam, amsgrad: True}}
+  lr_decay: {{name: WarmupPolyLR, warmup_epoch: 1, power: 0.9}}
+PostProcess:
+  name: DBPostProcess
+  thresh: 0.3
+  box_thresh: 0.3
+  unclip_ratio: 1.5
+  score_mode: poly
+Metric:
+  name: DetMetric
+  main_indicator: hmean
+Train:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [{label_file}]
+    transforms:
+      - DecodeImage: {{img_mode: RGB}}
+      - DetLabelEncode:
+      - EastRandomCropData: {{size: [128, 128], max_tries: 10, keep_ratio: True}}
+      - MakeBorderMap: {{shrink_ratio: 0.4, thresh_min: 0.3, thresh_max: 0.7}}
+      - MakeShrinkMap: {{shrink_ratio: 0.4, min_text_size: 4}}
+      - ToTensor:
+      - Normalize: {{mean: [0.485, 0.456, 0.406], std: [0.229, 0.224, 0.225]}}
+      - KeepKeys: {{keep_keys: [image, threshold_map, threshold_mask, shrink_map, shrink_mask]}}
+  loader: {{shuffle: True, batch_size_per_card: 8, drop_last: True, num_workers: 2}}
+Eval:
+  dataset:
+    name: SimpleDataSet
+    label_file_list: [{label_file}]
+    transforms:
+      - DecodeImage: {{img_mode: RGB}}
+      - DetLabelEncode:
+      - DetResizeForTest: {{image_shape: [128, 128]}}
+      - ToTensor:
+      - Normalize: {{mean: [0.485, 0.456, 0.406], std: [0.229, 0.224, 0.225]}}
+      - KeepKeys: {{keep_keys: [image, shape, polys, ignore_tags]}}
+  loader: {{shuffle: False, batch_size_per_card: 1, drop_last: False, num_workers: 1}}
+"""
+
+
+@pytest.mark.slow
+def test_det_train_cli_with_hmean_eval(tmp_path):
+    """Detection CLI path end to end: train -> eval (DetMetric hmean through
+    the device postprocess) -> checkpoints."""
+    from synth import make_det_dataset
+
+    label_file = make_det_dataset(str(tmp_path / "data"), n=8, size=160)
+    save_dir = str(tmp_path / "det_out")
+    cfg_path = str(tmp_path / "det_cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(DET_CFG.format(save_dir=save_dir, label_file=label_file))
+
+    result = _run_train(cfg_path)
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    assert "hmean" in result.stdout
+    assert "cur metric" in result.stdout
+    assert os.path.isdir(os.path.join(save_dir, "latest"))
