@@ -22,7 +22,7 @@ from pytorchocr_tpu.data import create_operators, transform
 from pytorchocr_tpu.postprocess import build_post_process
 from pytorchocr_tpu.utils.utility import sort_boxes
 from common import JitRunner, build_infer_model, load_variables
-from utils import draw_det_res, load_config
+from utils import draw_det_res, load_config, show_image
 
 
 def parse_args():
@@ -99,8 +99,7 @@ def main():
         save_img_path = out_dir.joinpath("res_" + str(img_path.stem) + ".jpg")
         res_img = draw_det_res(boxes, str(img_path), str(save_img_path))
         if args.show:
-            cv2.imshow("det_res", res_img)
-            cv2.waitKey(0)
+            show_image("det_res", res_img)
 
 
 if __name__ == "__main__":

@@ -20,7 +20,7 @@ import numpy as np
 from pytorchocr_tpu.data import create_operators, transform
 from pytorchocr_tpu.postprocess import build_post_process
 from common import JitRunner, build_infer_model, load_variables
-from utils import draw_rec_res, load_config
+from utils import draw_rec_res, load_config, show_image
 
 
 def parse_args():
@@ -115,8 +115,7 @@ def main():
         save_img_path = out_dir.joinpath("res_" + str(img_path.stem) + ".jpg")
         res_img = draw_rec_res(text, prob, str(img_path), str(save_img_path))
         if args.show:
-            cv2.imshow("rec_res", res_img)
-            cv2.waitKey(0)
+            show_image("rec_res", res_img)
 
 
 if __name__ == "__main__":

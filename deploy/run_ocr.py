@@ -22,7 +22,7 @@ from pytorchocr_tpu.utils.utility import get_part_img
 from infer_cls import Clser
 from infer_det import Deter
 from infer_rec import Recer
-from utils import draw_ocr_res
+from utils import draw_ocr_res, show_image
 
 
 def parse_args():
@@ -121,9 +121,10 @@ def main():
                 fp.write(",".join(tmp) + "\n")
         save_img_path = out_dir.joinpath("res_" + str(img_path.stem) + ".jpg")
         res_img = draw_ocr_res(ocr_res, str(img_path), str(save_img_path), args.font_path)
+        if not ocr_res:
+            print("[info] 0 text boxes detected in {}".format(img_path))
         if args.show:
-            cv2.imshow("ocr_res", res_img)
-            cv2.waitKey(0)
+            show_image("ocr_res", res_img)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,18 @@ def _font(font_path, size):
         return ImageFont.load_default()
 
 
+def show_image(title, img):
+    """cv2.imshow guarded for headless environments (no DISPLAY -> Qt
+    aborts the process); degrades to a warning instead."""
+    import os
+
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        print("[warn] --show ignored: no display available (results are saved to disk)")
+        return
+    cv2.imshow(title, img)
+    cv2.waitKey(0)
+
+
 def draw_det_res(dt_boxes, img_path, save_path):
     img = cv2.imdecode(np.fromfile(img_path, dtype=np.uint8), cv2.IMREAD_COLOR)
     if len(dt_boxes) > 0:
