@@ -167,3 +167,13 @@ def test_aot_and_serialized_export(tmp_path):
     assert isinstance(blob, (bytes, bytearray))
     g = load_serialized(bytes(blob))
     np.testing.assert_allclose(np.asarray(g(x)), np.asarray(f(x)))
+
+
+def test_show_image_headless_guard(monkeypatch, capsys):
+    """--show must not abort in a headless environment (no DISPLAY)."""
+    from utils import show_image
+
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    show_image("t", np.zeros((4, 4, 3), np.uint8))  # must not raise
+    assert "no display" in capsys.readouterr().out
