@@ -41,9 +41,12 @@ class JitRunner:
     HWC images (the device does /255, -mean, /std — a few fused VPU ops).
     """
 
-    def __init__(self, model, variables, mean=None, std=None, scale=1.0 / 255.0):
+    def __init__(
+        self, model, variables, mean=None, std=None, scale=1.0 / 255.0, quant=False
+    ):
         self.model = model
         self.variables = variables
+        self.quant = quant
         if mean is not None:
             self.mean = jnp.asarray(mean, jnp.float32).reshape(1, 1, 1, -1)
             self.std = jnp.asarray(std, jnp.float32).reshape(1, 1, 1, -1)
@@ -58,9 +61,37 @@ class JitRunner:
                 x = (x * self.scale - self.mean) / self.std
             return self.model.apply(variables, x, train=False)
 
+        self._forward = forward
         self._jitted = jax.jit(forward)
+        # separate jit cache for the int8 trace: jax.jit's cache does not key
+        # on the quant context, only on arg structure
+        self._jitted_int8 = jax.jit(forward)
+
+    def _normalize(self, images):
+        x = jnp.asarray(images).astype(jnp.float32)
+        if self.mean is not None:
+            x = (x * self.scale - self.mean) / self.std
+        return x
+
+    def calibrate(self, batches):
+        """int8 PTQ calibration (replaces the TRT-int8 calibrator): record
+        per-conv activation scales over representative raw input batches."""
+        from pytorchocr_tpu.ops import quant as quant_ops
+
+        self.variables = quant_ops.calibrate(
+            self.model, self.variables, [self._normalize(b) for b in batches]
+        )
+        self.quant = True
 
     def __call__(self, images):
+        if self.quant:
+            from pytorchocr_tpu.ops import quant as quant_ops
+
+            if "quant" not in self.variables:
+                raise ValueError("quant=True requires calibrate() first")
+            with quant_ops.quantized("int8"):
+                # jit caches per shape; trace happens under the int8 context
+                return self._jitted_int8(self.variables, jnp.asarray(images))
         return self._jitted(self.variables, jnp.asarray(images))
 
 

@@ -32,16 +32,23 @@ def parse_args():
     parser.add_argument("--img_path", type=str, help="test img-path or img-dir")
     parser.add_argument("--show", action="store_true", help="show results")
     parser.add_argument("--out_dir", type=str, help="output directory")
+    parser.add_argument(
+        "--quant",
+        action="store_true",
+        help="int8 PTQ inference (calibrates on the first image; ~2x MXU "
+        "rate on v5e — TPU-native analogue of a TensorRT-int8 engine)",
+    )
     return parser.parse_args()
 
 
 class Deter:
-    def __init__(self, det_cfg, det_ckpt):
+    def __init__(self, det_cfg, det_ckpt, quant=False):
         det_cfg = load_config(det_cfg)
         det_cfg["Global"]["distributed"] = False
         model = build_infer_model(det_cfg)
         variables = load_variables(det_ckpt)
         self.runner = JitRunner(model, variables)
+        self._want_quant = quant
         self.det_post_process_class = build_post_process(
             det_cfg["PostProcess"], det_cfg["Global"]
         )
@@ -69,6 +76,8 @@ class Deter:
         det_batch = transform({"image": det_img}, self.det_ops)
         det_img = det_batch[0][None]  # (1, H, W, C)
         det_shape_list = np.expand_dims(det_batch[1], axis=0)
+        if self._want_quant and not self.runner.quant:
+            self.runner.calibrate([det_img])
         det_preds = self.runner(det_img)
         det_post_result = self.det_post_process_class(det_preds, det_shape_list)
         return sort_boxes(det_post_result[0]["points"])
@@ -76,7 +85,7 @@ class Deter:
 
 def main():
     args = parse_args()
-    deter = Deter(args.config, args.model_path)
+    deter = Deter(args.config, args.model_path, quant=args.quant)
 
     assert os.path.exists(args.img_path), "img_path not exists"
     img_paths = []

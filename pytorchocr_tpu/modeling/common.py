@@ -11,6 +11,8 @@ from typing import Any, Callable, Optional, Sequence, Union
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import quant as quant_ops
+
 # torch-style kaiming_normal(fan_out) for convs (reference inits)
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
@@ -77,19 +79,37 @@ class ConvBNAct(nn.Module):
             pad = [(self.padding, self.padding)] * 2
         else:
             pad = self.padding
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=ks,
-            strides=st,
-            padding=pad,
-            feature_group_count=self.groups,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=self.use_bias,
-            kernel_init=kaiming_normal,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        qmode = quant_ops.mode()
+        if qmode is not None and not train:
+            # int8 PTQ path (ops/quant.py): same param tree as nn.Conv, conv
+            # runs int8 x int8 -> int32 on the MXU with calibrated scales
+            x = quant_ops.QuantConv(
+                features=self.out_channels,
+                kernel_size=ks,
+                strides=st,
+                padding=pad,
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.use_bias,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                qmode=qmode,
+                name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=ks,
+                strides=st,
+                padding=pad,
+                feature_group_count=self.groups,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=self.use_bias,
+                kernel_init=kaiming_normal,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
