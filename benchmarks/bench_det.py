@@ -1,0 +1,84 @@
+"""Detection forward throughput (DB-ResNet18 @ 736x1280, one chip).
+
+Measures device compute only: ITERS forwards run inside one jitted
+`lax.fori_loop` (input perturbed per iteration so XLA cannot hoist the
+body) and a single scalar returns to host — dispatch/tunnel latency is
+amortized away.  This is the methodology behind the README numbers and
+the repo-root `bench.py` headline.
+
+Usage:
+    python benchmarks/bench_det.py --batch 128 --mode bf16
+    python benchmarks/bench_det.py --batch 128 --mode int8   # PTQ path
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+H, W = 736, 1280
+ITERS = 8
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--mode", choices=["bf16", "int8"], default="bf16")
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_db_model
+    from pytorchocr_tpu.ops import quant as quant_ops
+
+    model = _build_db_model(jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(args.batch, H, W, 3).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    if args.mode == "int8":
+        # per-conv activation scales from a small calibration batch
+        calib = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+        variables = quant_ops.calibrate(model, variables, [calib])
+
+    def forward_loop(variables, images):
+        def body(i, acc):
+            x = images + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
+            m = model.apply(variables, x, train=False)["maps"]
+            return acc + m.astype(jnp.float32).mean()
+
+        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
+
+    def measure():
+        jl = jax.jit(forward_loop)
+        t0 = time.perf_counter()
+        float(jl(variables, images))
+        print(f"compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
+        float(jl(variables, images))
+        times = []
+        for _ in range(3):
+            start = time.perf_counter()
+            float(jl(variables, images))
+            times.append(time.perf_counter() - start)
+        return min(times)
+
+    if args.mode == "int8":
+        with quant_ops.quantized("int8"):
+            elapsed = measure()
+    else:
+        elapsed = measure()
+    ips = args.batch * args.iters / elapsed
+    print(f"det {args.mode} bs{args.batch} @ {H}x{W}: {ips:.1f} imgs/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

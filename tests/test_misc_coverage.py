@@ -103,3 +103,25 @@ def test_top_level_api():
     )
     assert model is not None
     assert m.build_metric({"name": "ClsMetric"}).main_indicator == "acc"
+
+
+def test_resize_nearest_exact():
+    """resize_nearest (depthwise input-dilated conv) is elementwise-exact
+    nearest upsampling for every scale the necks use, f32 and bf16."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchocr_tpu.modeling.common import resize_nearest
+
+    rng = np.random.RandomState(0)
+    for scale in (1, 2, 4, 8):
+        for dtype in (jnp.float32, jnp.bfloat16):
+            x = jnp.asarray(rng.rand(2, 5, 7, 3).astype(np.float32)).astype(dtype)
+            got = resize_nearest(x, scale)
+            want = jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
+            assert got.shape == want.shape
+            assert got.dtype == x.dtype
+            np.testing.assert_array_equal(
+                np.asarray(got.astype(jnp.float32)),
+                np.asarray(want.astype(jnp.float32)),
+            )
