@@ -3,12 +3,14 @@ alpha*text + beta*kernel + gamma*emb (1.0/0.5/0.25)."""
 
 import jax.numpy as jnp
 
+from ..modeling.common import resize_nearest
 from . import basic
 
 
 def _upsample4(x):
-    x = jnp.repeat(x, 4, axis=1)
-    return jnp.repeat(x, 4, axis=2)
+    # depthwise-conv nearest upsample (exact; avoids the broadcast+reshape
+    # HBM temps of jnp.repeat — see modeling/common.py:resize_nearest)
+    return resize_nearest(x, 4)
 
 
 def _sigmoid(x):

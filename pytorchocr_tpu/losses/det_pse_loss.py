@@ -6,12 +6,14 @@ loss; dice losses apply sigmoid (act=True in the reference).
 
 import jax.numpy as jnp
 
+from ..modeling.common import resize_nearest
 from . import basic
 
 
 def _upsample4(x):
-    x = jnp.repeat(x, 4, axis=1)
-    return jnp.repeat(x, 4, axis=2)
+    # depthwise-conv nearest upsample (exact; avoids the broadcast+reshape
+    # HBM temps of jnp.repeat — see modeling/common.py:resize_nearest)
+    return resize_nearest(x, 4)
 
 
 class PSELoss:

@@ -41,7 +41,8 @@ class PSEPostProcess:
         self.img_w = pred.shape[2] * 4
         if self.scale != 4:
             r = 4 // self.scale
-            pred = jnp.repeat(jnp.repeat(pred, r, axis=1), r, axis=2)
+            from pytorchocr_tpu.modeling.common import resize_nearest
+            pred = resize_nearest(pred, r)
 
         score = 1.0 / (1.0 + jnp.exp(-pred[..., 0]))
         kernels = (pred > self.thresh).astype(jnp.float32)
