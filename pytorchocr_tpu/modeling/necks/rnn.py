@@ -7,6 +7,7 @@ flax nn.RNN over nn.OptimizedLSTMCell; encoder_type in {reshape, fc, rnn}.
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,7 +26,15 @@ class Im2Seq(nn.Module):
 
 class BiLSTM(nn.Module):
     """Bidirectional LSTM; optional output projection
-    (reference BidirectionalLSTM, rnn.py:18-36)."""
+    (reference BidirectionalLSTM, rnn.py:18-36).
+
+    TPU-fused recurrence: instead of two nn.RNN scans each doing an
+    input-projection matmul per step, the input projections of BOTH
+    directions run as one full-sequence MXU matmul hoisted out of the
+    loop, and a single lax.scan carries a direction-batched (2, N, H)
+    state — per-step work is one batched (2,N,H)x(2,H,4H) dot_general.
+    Same math as two independent LSTMs (gates i,f,g,o; zero init state).
+    """
 
     hidden_size: int
     proj_size: int = 0  # 0 = no projection
@@ -33,17 +42,66 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        fwd = nn.RNN(
-            nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32),
-            name="fwd",
+        n, t, c = x.shape
+        hs = self.hidden_size
+
+        # per-gate init (exactly what flax's LSTMCell does per direction:
+        # lecun_normal input blocks, orthogonal recurrent blocks) — a single
+        # (C, 4H) init changes the per-gate scale and demonstrably slows
+        # CTC convergence
+        def _blockwise(block_init, block_shape):
+            def init(key, shape, dtype=jnp.float32):
+                keys = jax.random.split(key, 8)  # works for raw + typed keys
+                dirs = [
+                    jnp.concatenate(
+                        [
+                            block_init(keys[d * 4 + g], block_shape, dtype)
+                            for g in range(4)
+                        ],
+                        axis=-1,
+                    )
+                    for d in range(2)
+                ]
+                return jnp.stack(dirs)
+
+            return init
+
+        # (direction, in, 4*hidden): 0 = forward, 1 = backward; gates i,f,g,o
+        wi = self.param(
+            "wi", _blockwise(nn.initializers.lecun_normal(), (c, hs)), (2, c, 4 * hs)
         )
-        bwd = nn.RNN(
-            nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype, param_dtype=jnp.float32),
-            reverse=True,
-            keep_order=True,
-            name="bwd",
+        wh = self.param(
+            "wh", _blockwise(nn.initializers.orthogonal(), (hs, hs)), (2, hs, 4 * hs)
         )
-        y = jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+        b = self.param("b", nn.initializers.zeros, (2, 4 * hs), jnp.float32)
+
+        xd = jnp.stack([x, jnp.flip(x, axis=1)])  # (2, N, T, C)
+        xproj = (
+            jnp.einsum("dntc,dck->dntk", xd.astype(self.dtype), wi.astype(self.dtype))
+            + b.astype(self.dtype)[:, None, None, :]
+        )  # (2, N, T, 4H) — the big hoisted MXU matmul
+        xproj = jnp.transpose(xproj, (2, 0, 1, 3))  # (T, 2, N, 4H) scan-major
+
+        wh0 = wh[0].astype(self.dtype)
+        wh1 = wh[1].astype(self.dtype)
+
+        def step(carry, xp_t):
+            cell, hidden = carry
+            # two plain (N,H)x(H,4H) dots beat one direction-batched
+            # dot_general on the MXU (5.50 vs 5.87 ms at lstm0 scale)
+            gates = jnp.stack([xp_t[0] + hidden[0] @ wh0, xp_t[1] + hidden[1] @ wh1])
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            cell = nn.sigmoid(f) * cell + nn.sigmoid(i) * nn.tanh(g)
+            hidden = nn.sigmoid(o) * nn.tanh(cell)
+            return (cell, hidden), hidden
+
+        zeros = jnp.zeros((2, n, hs), self.dtype)
+        _, ys = jax.lax.scan(step, (zeros, zeros), xproj, unroll=4)
+        # (T, 2, N, H) -> forward as-is; backward outputs are in reversed
+        # time order, flip back
+        fwd = jnp.transpose(ys[:, 0], (1, 0, 2))
+        bwd = jnp.flip(jnp.transpose(ys[:, 1], (1, 0, 2)), axis=1)
+        y = jnp.concatenate([fwd, bwd], axis=-1)
         if self.proj_size:
             y = nn.Dense(
                 self.proj_size, dtype=self.dtype, param_dtype=jnp.float32, name="embedding"

@@ -125,3 +125,41 @@ def test_resize_nearest_exact():
                 np.asarray(got.astype(jnp.float32)),
                 np.asarray(want.astype(jnp.float32)),
             )
+
+
+def test_fused_bilstm_matches_reference_lstm():
+    """The fused direction-batched BiLSTM equals two independent textbook
+    LSTMs (numpy, f32) run forward and backward over the sequence."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchocr_tpu.modeling.necks.rnn import BiLSTM
+
+    N, T, C, H = 2, 7, 5, 4
+    rng = np.random.RandomState(0)
+    x = rng.randn(N, T, C).astype(np.float32)
+
+    m = BiLSTM(hidden_size=H)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    got = np.asarray(m.apply(variables, jnp.asarray(x)))
+
+    p = jax.tree.map(np.asarray, variables["params"])
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))
+
+    def run_lstm(xseq, wi, wh, b):
+        h = np.zeros((xseq.shape[0], H), np.float32)
+        c = np.zeros_like(h)
+        out = []
+        for t in range(xseq.shape[1]):
+            gates = xseq[:, t] @ wi + h @ wh + b
+            i, f, g, o = np.split(gates, 4, axis=-1)
+            c = sig(f) * c + sig(i) * np.tanh(g)
+            h = sig(o) * np.tanh(c)
+            out.append(h)
+        return np.stack(out, axis=1)
+
+    fwd = run_lstm(x, p["wi"][0], p["wh"][0], p["b"][0])
+    bwd = run_lstm(x[:, ::-1], p["wi"][1], p["wh"][1], p["b"][1])[:, ::-1]
+    want = np.concatenate([fwd, bwd], axis=-1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
