@@ -28,7 +28,6 @@ Measured on one v5e chip: bf16 831 imgs/s, int8 969 imgs/s at bs128
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -56,34 +55,32 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
     )
 
-    def forward_loop(variables, images):
-        def body(i, acc):
-            x = images + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))  # defeat hoisting
-            m = model.apply(variables, x, train=False)["maps"]
-            return acc + m.astype(jnp.float32).mean()
-
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0.0))
+    from benchmarks.harness import measure_forward_loop
 
     def measure(variables):
-        jitted = jax.jit(forward_loop)
-        # compile + warm
-        float(jitted(variables, images))
-        float(jitted(variables, images))
-        times = []
-        for _ in range(3):
-            start = time.perf_counter()
-            float(jitted(variables, images))
-            times.append(time.perf_counter() - start)
-        return min(times)
+        return measure_forward_loop(
+            lambda v, x: model.apply(v, x, train=False)["maps"],
+            variables,
+            images,
+            ITERS,
+            verbose=False,
+        )
 
+    mode = "int8"
     try:
         # int8 PTQ deploy path: calibrate activation scales, trace int8
         calib = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
         qvariables = quant_ops.calibrate(model, variables, [calib])
         with quant_ops.quantized("int8"):
             elapsed = measure(qvariables)
-    except Exception:
-        elapsed = measure(variables)  # bf16 fallback
+    except Exception as e:  # loud fallback: the metric must say which path ran
+        import sys
+        import traceback
+
+        print("int8 path failed, falling back to bf16:", file=sys.stderr)
+        traceback.print_exception(e, file=sys.stderr)
+        mode = "bf16-fallback"
+        elapsed = measure(variables)
 
     imgs_per_sec = BATCH * ITERS / elapsed
     print(
@@ -93,6 +90,7 @@ def main():
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/s",
                 "vs_baseline": round(imgs_per_sec / BASELINE_TRT_FP16_FPS, 3),
+                "mode": mode,
             }
         )
     )

@@ -1,10 +1,8 @@
 """Detection forward throughput (DB-ResNet18 @ 736x1280, one chip).
 
-Measures device compute only: ITERS forwards run inside one jitted
-`lax.fori_loop` (input perturbed per iteration so XLA cannot hoist the
-body) and a single scalar returns to host — dispatch/tunnel latency is
-amortized away.  This is the methodology behind the README numbers and
-the repo-root `bench.py` headline.
+Measures device compute only via benchmarks/harness.py (the shared
+methodology behind the README numbers and the repo-root `bench.py`
+headline).
 
 Usage:
     python benchmarks/bench_det.py --batch 128 --mode bf16
@@ -14,7 +12,6 @@ Usage:
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -50,32 +47,14 @@ def main():
         calib = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
         variables = quant_ops.calibrate(model, variables, [calib])
 
-    def forward_loop(variables, images):
-        def body(i, acc):
-            x = images + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-            m = model.apply(variables, x, train=False)["maps"]
-            return acc + m.astype(jnp.float32).mean()
+    from harness import measure_forward_loop
 
-        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
-
-    def measure():
-        jl = jax.jit(forward_loop)
-        t0 = time.perf_counter()
-        float(jl(variables, images))
-        print(f"compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
-        float(jl(variables, images))
-        times = []
-        for _ in range(3):
-            start = time.perf_counter()
-            float(jl(variables, images))
-            times.append(time.perf_counter() - start)
-        return min(times)
-
+    apply_fn = lambda v, x: model.apply(v, x, train=False)["maps"]
     if args.mode == "int8":
         with quant_ops.quantized("int8"):
-            elapsed = measure()
+            elapsed = measure_forward_loop(apply_fn, variables, images, args.iters)
     else:
-        elapsed = measure()
+        elapsed = measure_forward_loop(apply_fn, variables, images, args.iters)
     ips = args.batch * args.iters / elapsed
     print(f"det {args.mode} bs{args.batch} @ {H}x{W}: {ips:.1f} imgs/s", flush=True)
 

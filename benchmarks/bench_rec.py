@@ -1,6 +1,7 @@
 """CRNN recognition forward throughput (VGG + 2xBiLSTM + CTC-6624 @ 32x320).
 
-Same on-device-loop methodology as bench_det.py; reports text-lines/sec.
+Same on-device-loop methodology (benchmarks/harness.py); reports
+text-lines/sec.
 
 Usage:
     python benchmarks/bench_rec.py --batch 512 --mode bf16
@@ -10,7 +11,6 @@ Usage:
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -58,32 +58,14 @@ def main():
         calib = jnp.asarray(rng.rand(4, H, W, 1).astype(np.float32))
         variables = quant_ops.calibrate(model, variables, [calib])
 
-    def forward_loop(variables, images):
-        def body(i, acc):
-            x = images + (i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-            m = model.apply(variables, x, train=False)
-            return acc + m.astype(jnp.float32).mean()
+    from harness import measure_forward_loop
 
-        return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0.0))
-
-    def measure():
-        jl = jax.jit(forward_loop)
-        t0 = time.perf_counter()
-        float(jl(variables, images))
-        print(f"compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
-        float(jl(variables, images))
-        times = []
-        for _ in range(3):
-            start = time.perf_counter()
-            float(jl(variables, images))
-            times.append(time.perf_counter() - start)
-        return min(times)
-
+    apply_fn = lambda v, x: model.apply(v, x, train=False)
     if args.mode == "int8":
         with quant_ops.quantized("int8"):
-            elapsed = measure()
+            elapsed = measure_forward_loop(apply_fn, variables, images, args.iters)
     else:
-        elapsed = measure()
+        elapsed = measure_forward_loop(apply_fn, variables, images, args.iters)
     lps = args.batch * args.iters / elapsed
     print(f"rec {args.mode} bs{args.batch} @ {H}x{W}: {lps:.0f} lines/s", flush=True)
 

@@ -7,12 +7,6 @@ from ..modeling.common import resize_nearest
 from . import basic
 
 
-def _upsample4(x):
-    # depthwise-conv nearest upsample (exact; avoids the broadcast+reshape
-    # HBM temps of jnp.repeat — see modeling/common.py:resize_nearest)
-    return resize_nearest(x, 4)
-
-
 def _sigmoid(x):
     return 1.0 / (1.0 + jnp.exp(-x))
 
@@ -42,7 +36,7 @@ class PANLoss:
         self.reduction = reduction
 
     def __call__(self, outputs, labels):
-        predicts = _upsample4(outputs["maps"])  # (N, H, W, 6)
+        predicts = resize_nearest(outputs["maps"], 4)  # (N, H, W, 6)
         texts = predicts[..., 0]
         kernels = predicts[..., 1]
         embs = predicts[..., 2:]  # (N, H, W, 4)

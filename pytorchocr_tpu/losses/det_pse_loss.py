@@ -10,12 +10,6 @@ from ..modeling.common import resize_nearest
 from . import basic
 
 
-def _upsample4(x):
-    # depthwise-conv nearest upsample (exact; avoids the broadcast+reshape
-    # HBM temps of jnp.repeat — see modeling/common.py:resize_nearest)
-    return resize_nearest(x, 4)
-
-
 class PSELoss:
     def __init__(
         self,
@@ -32,7 +26,7 @@ class PSELoss:
         self.reduction = reduction
 
     def __call__(self, outputs, labels):
-        predicts = _upsample4(outputs["maps"])  # (N, H, W, 7)
+        predicts = resize_nearest(outputs["maps"], 4)  # (N, H, W, 7)
         texts = predicts[..., 0]
         kernels = predicts[..., 1:]
         gt_texts, gt_kernels, training_masks = labels[1:4]

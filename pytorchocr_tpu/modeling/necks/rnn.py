@@ -1,8 +1,8 @@
 """Sequence encoder neck (reference pytocr/modeling/necks/rnn.py).
 
 TPU divergence: sequences are **batch-major (N, T, C)** — the reference is
-time-major (T, N, C) for torch CTC.  The BiLSTM runs as a lax.scan via
-flax nn.RNN over nn.OptimizedLSTMCell; encoder_type in {reshape, fc, rnn}.
+time-major (T, N, C) for torch CTC.  The BiLSTM is a fused single lax.scan
+(see BiLSTM docstring); encoder_type in {reshape, fc, rnn}.
 """
 
 from typing import Any
@@ -86,16 +86,20 @@ class BiLSTM(nn.Module):
         wh1 = wh[1].astype(self.dtype)
 
         def step(carry, xp_t):
-            cell, hidden = carry
+            cell, hidden = carry  # f32 carry: cell accumulates across all T
+            # steps — keeping it f32 matches the replaced OptimizedLSTMCell
+            # numerics under bf16 compute (carry traffic is tiny)
+            hc = hidden.astype(self.dtype)
             # two plain (N,H)x(H,4H) dots beat one direction-batched
             # dot_general on the MXU (5.50 vs 5.87 ms at lstm0 scale)
-            gates = jnp.stack([xp_t[0] + hidden[0] @ wh0, xp_t[1] + hidden[1] @ wh1])
+            gates = jnp.stack([xp_t[0] + hc[0] @ wh0, xp_t[1] + hc[1] @ wh1])
+            gates = gates.astype(jnp.float32)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             cell = nn.sigmoid(f) * cell + nn.sigmoid(i) * nn.tanh(g)
             hidden = nn.sigmoid(o) * nn.tanh(cell)
-            return (cell, hidden), hidden
+            return (cell, hidden), hidden.astype(self.dtype)
 
-        zeros = jnp.zeros((2, n, hs), self.dtype)
+        zeros = jnp.zeros((2, n, hs), jnp.float32)
         _, ys = jax.lax.scan(step, (zeros, zeros), xproj, unroll=4)
         # (T, 2, N, H) -> forward as-is; backward outputs are in reversed
         # time order, flip back
