@@ -20,6 +20,54 @@ import jax
 import jax.numpy as jnp
 
 
+def _segmented_runmax(vals, mask, axis):
+    """Per-run max along `axis`: every pixel of a maximal contiguous masked
+    run gets the run's max; unmasked pixels become 0.  One forward + one
+    backward log-depth associative scan."""
+    vals = jnp.where(mask, vals, 0)
+    boundary = ~mask  # combine resets at unmasked pixels
+
+    def combine(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, jnp.maximum(av, bv)), af | bf
+
+    fwd, _ = jax.lax.associative_scan(combine, (vals, boundary), axis=axis)
+    bwd, _ = jax.lax.associative_scan(
+        combine, (vals, boundary), axis=axis, reverse=True
+    )
+    return jnp.where(mask, jnp.maximum(fwd, bwd), 0)
+
+
+def spread_labels_scan(labels, mask):
+    """Spread labels to the per-component max via alternating row/column
+    segmented run-max scans.
+
+    Per-pixel neighbor propagation (Pallas/XLA roll-max) needs O(component
+    diameter) rounds — ~100ms for page-size maps.  A segmented scan moves a
+    label across an ENTIRE run in one log-depth pass, so convergence takes
+    O(staircase complexity of the component shape) alternations (2 for
+    rectangles, a handful for L/U/spiral shapes) — measured ~25x faster on
+    realistic 736x1280 detection maps.  Exact: same fixpoint (the unique
+    per-component max) as the neighbor-propagation kernel.
+    """
+    mask = mask.astype(bool)
+
+    def body(state):
+        lbl, _ = state
+        l1 = _segmented_runmax(lbl, mask, axis=1)
+        l2 = _segmented_runmax(l1, mask, axis=0)
+        return l2, jnp.any(l2 != lbl)
+
+    def cond(state):
+        return state[1]
+
+    out, _ = jax.lax.while_loop(
+        cond, lambda s: body((s[0], False)), body((labels, True))
+    )
+    return out
+
+
 def connected_components(binary, max_labels=1024):
     """4-connected components of a (H, W) bool map.
 
@@ -31,21 +79,24 @@ def connected_components(binary, max_labels=1024):
     idx = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     labels = jnp.where(binary, idx, 0)
 
-    # fixpoint 4-neighbor max spreading: Pallas VMEM kernel (tiled over row
-    # bands for big maps), XLA roll/max fallback (ops/pallas_propagate.py)
-    from .pallas_propagate import spread_labels_fixpoint
+    # fixpoint spreading via alternating segmented scans (diameter-free;
+    # see spread_labels_scan) — the per-round Pallas kernel remains for the
+    # BFS-order-sensitive PSE/PAN expansion paths
+    labels = spread_labels_scan(labels, binary)
 
-    labels = spread_labels_fixpoint(labels, binary, fill_only=False)
-
-    # compact relabel: sized unique + searchsorted (jit-compatible).
-    # Pad with int32 max so the padded array stays sorted.
-    sentinel = jnp.iinfo(jnp.int32).max
-    uniq = jnp.unique(labels, size=max_labels, fill_value=sentinel)
-    compact = jnp.searchsorted(uniq, labels)
-    # background label 0 maps to position of 0 in uniq (position 0 whenever
-    # any background exists); overflow components clamp into the last slot
-    compact = jnp.clip(compact, 0, max_labels - 1)
-    num = jnp.sum((uniq > 0) & (uniq < sentinel))
+    # compact relabel, sort-free: a pixel i is its component's
+    # REPRESENTATIVE iff its final label equals its own seed index i+1 (the
+    # component max is itself a pixel position).  The compact id of a
+    # component is the rank of its representative — one cumsum + one gather
+    # instead of jnp.unique's full device sort (which dominated the front-
+    # half cost: ~100ms for a 736x1280 map).
+    flat = labels.reshape(-1)
+    present = flat == (jnp.arange(h * w, dtype=jnp.int32) + 1)
+    ranks = jnp.cumsum(present.astype(jnp.int32))
+    compact = jnp.where(flat > 0, ranks[jnp.maximum(flat - 1, 0)], 0)
+    # overflow components clamp into the last slot (same as before)
+    compact = jnp.clip(compact, 0, max_labels - 1).reshape(h, w)
+    num = jnp.minimum(ranks[-1], max_labels - 1)
     return compact.astype(jnp.int32), num
 
 
@@ -166,29 +217,33 @@ def db_front_half(prob, thresh=0.3, max_labels=1024):
     labels, num = connected_components(binary, max_labels)
     flat = labels.reshape(-1)
 
-    ones = jnp.ones_like(flat, dtype=jnp.float32)
-    count = jax.ops.segment_sum(ones, flat, num_segments=max_labels)
-    score_sum = jax.ops.segment_sum(
-        prob.reshape(-1).astype(jnp.float32), flat, num_segments=max_labels
-    )
-    score = score_sum / jnp.maximum(count, 1.0)
+    # per-label count/prob-sum as ONE one-hot matmul — the one-hot is
+    # generated on the fly inside the MXU tiles (never materialized) and
+    # HIGHEST precision keeps f32-exact sums; measured ~7x faster than two
+    # segment_sum scatters on v5e (2.3 vs 17 ms for a 736x1280 map)
+    onehot = flat[:, None] == jnp.arange(max_labels, dtype=jnp.int32)[None, :]
+    vals = jnp.stack(
+        [jnp.ones_like(flat, jnp.float32), prob.reshape(-1).astype(jnp.float32)]
+    )  # (2, n)
+    sums = jnp.dot(
+        vals,
+        onehot.astype(jnp.bfloat16),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (2, max_labels)
+    count = sums[0]
+    score = sums[1] / jnp.maximum(count, 1.0)
 
     h, w = prob.shape
     ys = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w)
     xs = jnp.tile(jnp.arange(w, dtype=jnp.int32), h)
     big = jnp.int32(1 << 30)
-    xmin = jax.ops.segment_min(
-        jnp.where(flat > 0, xs, big), flat, num_segments=max_labels
-    )
-    ymin = jax.ops.segment_min(
-        jnp.where(flat > 0, ys, big), flat, num_segments=max_labels
-    )
-    xmax = jax.ops.segment_max(
-        jnp.where(flat > 0, xs, -1), flat, num_segments=max_labels
-    )
-    ymax = jax.ops.segment_max(
-        jnp.where(flat > 0, ys, -1), flat, num_segments=max_labels
-    )
+    # all four extremes in ONE vectorized segment_min (min of -x == -max x):
+    # ~3.8x faster than four separate scatters
+    stacked = jnp.stack([xs, ys, -xs, -ys], axis=1)
+    stacked = jnp.where((flat > 0)[:, None], stacked, big)
+    mins = jax.ops.segment_min(stacked, flat, num_segments=max_labels)
+    xmin, ymin = mins[:, 0], mins[:, 1]
+    xmax, ymax = -mins[:, 2], -mins[:, 3]
     bbox = jnp.stack([xmin, ymin, xmax, ymax], axis=1)
     return {
         # int16 halves the device->host transfer (components <= max_labels)

@@ -60,3 +60,49 @@ def test_db_device_path_matches_host():
     np.testing.assert_allclose(
         sorted(host_res[0]["scores"]), sorted(dev_res[0]["scores"]), atol=0.02
     )
+
+
+def test_scan_spreading_matches_neighbor_propagation():
+    """The segmented-scan CC spreading reaches the same fixpoint as the
+    per-round neighbor propagation on awkward shapes (U, spiral, diagonal
+    staircases, random blobs)."""
+    import numpy as np
+
+    from pytorchocr_tpu.ops.cc_label import spread_labels_scan
+    from pytorchocr_tpu.ops.pallas_propagate import spread_labels_fixpoint
+
+    rng = np.random.RandomState(7)
+    cases = []
+    # U shape
+    u = np.zeros((24, 24), bool)
+    u[4:20, 4:7] = True
+    u[4:20, 17:20] = True
+    u[17:20, 4:20] = True
+    cases.append(u)
+    # inward rectangular spiral
+    s = np.zeros((31, 31), bool)
+    top, left, bottom, right = 0, 0, 30, 30
+    while top < bottom:
+        s[top, left : right + 1] = True
+        s[top : bottom + 1, right] = True
+        s[bottom, left : right + 1] = True
+        s[top + 2 : bottom + 1, left] = True
+        top += 4
+        left += 4
+        bottom -= 4
+        right -= 4
+    cases.append(s)
+    # random blobs
+    for _ in range(3):
+        cases.append(rng.rand(40, 52) > 0.6)
+
+    for binary in cases:
+        h, w = binary.shape
+        seed = np.where(binary, np.arange(h * w).reshape(h, w) + 1, 0).astype(
+            np.int32
+        )
+        got = np.asarray(spread_labels_scan(jnp.asarray(seed), jnp.asarray(binary)))
+        want = np.asarray(
+            spread_labels_fixpoint(jnp.asarray(seed), jnp.asarray(binary), fill_only=False)
+        )
+        np.testing.assert_array_equal(got, want)
