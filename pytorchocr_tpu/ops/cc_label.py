@@ -5,9 +5,10 @@ The TPU-native replacement for the host front-half of DB postprocess
 scoring, db_postprocess.py:43-72 and the C++ module).  Pipeline, all inside
 one jit:
 
-  prob map -> threshold -> CC labels (fixpoint 4-neighbor max propagation,
-  a lax.while_loop of VPU shifts) -> compact relabel (sized jnp.unique) ->
-  per-label pixel count / prob sum / bbox via segment reductions.
+  prob map -> threshold -> CC labels (alternating segmented run-max scans;
+  see spread_labels_scan) -> sort-free compact relabel (representative-rank
+  cumsum) -> per-label count/prob-sum via a fused one-hot MXU matmul and
+  bbox via one packed segment_min.
 
 Only (labels int32, per-label stats) cross to host; the box-score is exact
 ("poly" score = mean prob over the component).  Host work shrinks to
