@@ -54,10 +54,18 @@ def spread_labels_scan(labels, mask):
     """
     mask = mask.astype(bool)
 
+    # on TPU the whole log-step scan runs in VMEM (one HBM pass per axis —
+    # ops/pallas_propagate.py:segmented_runmax_pallas); elsewhere the XLA
+    # associative_scan fallback, parity-tested against it
+    if jax.default_backend() == "tpu":
+        from .pallas_propagate import segmented_runmax_pallas as runmax
+    else:
+        runmax = _segmented_runmax
+
     def body(state):
         lbl, _ = state
-        l1 = _segmented_runmax(lbl, mask, axis=1)
-        l2 = _segmented_runmax(l1, mask, axis=0)
+        l1 = runmax(lbl, mask, axis=1)
+        l2 = runmax(l1, mask, axis=0)
         return l2, jnp.any(l2 != lbl)
 
     def cond(state):

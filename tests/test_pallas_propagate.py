@@ -47,3 +47,26 @@ def test_cc_rule_matches_xla():
         spread_labels_jax(jnp.asarray(labels), jnp.asarray(mask), fill_only=False)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_segmented_runmax_pallas_matches_xla_scan():
+    """The VMEM segmented run-max kernel (interpret mode on CPU) equals the
+    XLA associative-scan version on both axes, including padding bands."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pytorchocr_tpu.ops.cc_label import _segmented_runmax
+    from pytorchocr_tpu.ops.pallas_propagate import segmented_runmax_pallas
+
+    rng = np.random.RandomState(3)
+    for h, w in [(16, 128), (24, 256), (40, 384)]:
+        mask = rng.rand(h, w) > 0.5
+        vals = np.where(mask, rng.randint(1, 1 << 20, (h, w)), 0).astype(np.int32)
+        for axis in (0, 1):
+            got = np.asarray(
+                segmented_runmax_pallas(jnp.asarray(vals), jnp.asarray(mask), axis)
+            )
+            want = np.asarray(
+                _segmented_runmax(jnp.asarray(vals), jnp.asarray(mask), axis)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"{h}x{w} axis={axis}")
