@@ -4,6 +4,7 @@ computation replicated on one device — the global-view jit contract that
 replaces DDP + SyncBatchNorm."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -99,3 +100,33 @@ def test_sharded_matches_single_device():
     # GLOBAL batch on the sharded mesh (SyncBN for free)
     for a, b in zip(jax.tree.leaves(bs8), jax.tree.leaves(bs1)):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_forces_cpu_mesh():
+    """Driver-shaped invocation of __graft_entry__.dryrun_multichip: even when
+    the calling process has already initialized a jax backend with the WRONG
+    device count/platform, the dryrun must still execute on a real 8-device
+    CPU mesh (round-1 regression: it silently ran on one TPU device)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import os; os.environ.pop('XLA_FLAGS', None)\n"
+        "import jax\n"
+        "assert len(jax.devices()) == 1  # hostile: backend pinned to 1 device\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n" % repo
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun dp(8) OK" in out.stdout
+    assert "dryrun dp+tp(8 = 4x2) OK" in out.stdout
