@@ -5,8 +5,21 @@ Measures the int8 PTQ deploy configuration (the TPU-native analogue of the
 reference's TensorRT low-precision engine path — deploy/onnx2trt.ipynb):
 per-conv activation scales from a calibration pass, per-output-channel
 weight quantization, int8 x int8 -> int32 convs on the MXU.  Accuracy vs
-the float path is covered by tests/test_quant.py.  Falls back to the bf16
-path if the int8 trace fails for any reason.
+the float path is covered by tests/test_quant.py (and the full-resolution
+det-output parity test).
+
+Delivery is staged so an external timeout can never erase the round's
+number (round-1 postmortem: one bs128-int8 compile through the tunnel
+exceeded the driver budget and rc=124 captured nothing):
+
+  1. a cheap bf16 bs16 phase compiles in well under a minute and prints a
+     *preliminary* JSON line immediately (flushed);
+  2. the full bs128-int8 phase then prints the final JSON line.
+
+Each phase runs under its own signal.alarm watchdog (budgets overridable
+via BENCH_BUDGET_S); a hung tunnel or slow compile forfeits only that
+phase, and the last printed line stands.  The driver takes the LAST JSON
+line on stdout.
 
 The TPU here is reached through a tunnel with ~30ms per-call RTT, so the
 benchmark loops ITERS forwards ON DEVICE inside a single jit call (a
@@ -14,9 +27,9 @@ fori_loop whose input is perturbed per-iteration so XLA cannot hoist the
 loop body) and fetches one scalar — timing measures device compute, not
 tunnel latency.
 
-Prints ONE JSON line:
+Prints JSON lines of the form:
   {"metric": "det_db_r18_imgs_per_sec_736", "value": N, "unit": "imgs/s",
-   "vs_baseline": N / BASELINE_TRT_FP16_FPS}
+   "vs_baseline": N / BASELINE_TRT_FP16_FPS, "mode": ...}
 
 BASELINE_TRT_FP16_FPS: the reference repo publishes NO speed numbers
 (SURVEY.md §6).  Published DBNet-r18 TensorRT-fp16 numbers at 736px on
@@ -28,61 +41,47 @@ Measured on one v5e chip: bf16 831 imgs/s, int8 969 imgs/s at bs128
 """
 
 import json
+import os
+import signal
+import sys
 
 import numpy as np
 
 BASELINE_TRT_FP16_FPS = 50.0
 H, W = 736, 1280
-BATCH = 128
-ITERS = 8
+
+# Overall wall budget (s); split ~1/3 preliminary, rest headline.  Kept
+# safely under typical external timeouts so *we* decide what gets skipped.
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "540"))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+class _PhaseTimeout(Exception):
+    pass
 
-    from __graft_entry__ import _build_db_model
-    from pytorchocr_tpu.ops import quant as quant_ops
 
-    model = _build_db_model(jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    # bf16 input feed: halves HBM traffic of the input tensor (standard TPU
-    # serving practice — deploy JitRunner normalizes on device anyway)
-    images = jnp.asarray(rng.rand(BATCH, H, W, 3).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
-    )
+def _alarm_handler(signum, frame):
+    raise _PhaseTimeout()
 
-    from benchmarks.harness import measure_forward_loop
 
-    def measure(variables):
-        return measure_forward_loop(
-            lambda v, x: model.apply(v, x, train=False)["maps"],
-            variables,
-            images,
-            ITERS,
-            verbose=False,
-        )
-
-    mode = "int8"
+def _run_phase(budget_s, fn):
+    """Run fn() under a signal.alarm watchdog.  Returns (ok, result_or_exc)."""
+    old = signal.signal(signal.SIGALRM, _alarm_handler)
+    signal.alarm(max(int(budget_s), 1))
     try:
-        # int8 PTQ deploy path: calibrate activation scales, trace int8
-        calib = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
-        qvariables = quant_ops.calibrate(model, variables, [calib])
-        with quant_ops.quantized("int8"):
-            elapsed = measure(qvariables)
-    except Exception as e:  # loud fallback: the metric must say which path ran
-        import sys
+        return True, fn()
+    except _PhaseTimeout:
+        return False, "phase timed out after %ds" % budget_s
+    except Exception as e:  # noqa: BLE001 — benchmark must degrade, not die
         import traceback
 
-        print("int8 path failed, falling back to bf16:", file=sys.stderr)
-        traceback.print_exception(e, file=sys.stderr)
-        mode = "bf16-fallback"
-        elapsed = measure(variables)
+        traceback.print_exc(file=sys.stderr)
+        return False, e
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
-    imgs_per_sec = BATCH * ITERS / elapsed
+
+def _emit(imgs_per_sec, mode):
     print(
         json.dumps(
             {
@@ -92,8 +91,75 @@ def main():
                 "vs_baseline": round(imgs_per_sec / BASELINE_TRT_FP16_FPS, 3),
                 "mode": mode,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import time
+
+    t_start = time.monotonic()
+
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_db_model
+    from benchmarks.harness import measure_forward_loop
+    from pytorchocr_tpu.ops import quant as quant_ops
+
+    model = _build_db_model(jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+
+    def apply_fn(v, x):
+        return model.apply(v, x, train=False)["maps"]
+
+    def measure(vs, batch, iters):
+        # bf16 input feed: halves HBM traffic of the input tensor (standard
+        # TPU serving practice — deploy JitRunner normalizes on device anyway)
+        images = jnp.asarray(rng.rand(batch, H, W, 3).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        elapsed = measure_forward_loop(
+            apply_fn, vs, images, iters, verbose=False
+        )
+        return batch * iters / elapsed
+
+    # ---- Phase 1: cheap bf16 preliminary (fast compile, always lands) ----
+    prelim_budget = max(TOTAL_BUDGET_S // 3, 60)
+    ok, res = _run_phase(prelim_budget, lambda: measure(variables, 16, 4))
+    if ok:
+        _emit(res, "bf16-bs16-preliminary")
+    else:
+        print("preliminary phase failed: %s" % res, file=sys.stderr, flush=True)
+
+    # ---- Phase 2: headline int8 bs128 (falls back to bf16 bs128) ----
+    remaining = TOTAL_BUDGET_S - (time.monotonic() - t_start)
+    if remaining < 60:
+        print("budget exhausted before headline phase", file=sys.stderr, flush=True)
+        return
+
+    def int8_phase():
+        calib = jnp.asarray(rng.rand(2, H, W, 3).astype(np.float32))
+        qvariables = quant_ops.calibrate(model, variables, [calib])
+        with quant_ops.quantized("int8"):
+            return measure(qvariables, 128, 8)
+
+    ok, res = _run_phase(remaining, int8_phase)
+    if ok:
+        _emit(res, "int8")
+        return
+    print("int8 phase failed: %s" % res, file=sys.stderr, flush=True)
+
+    remaining = TOTAL_BUDGET_S - (time.monotonic() - t_start)
+    if remaining < 60:
+        return
+    ok, res = _run_phase(remaining, lambda: measure(variables, 128, 8))
+    if ok:
+        _emit(res, "bf16-fallback")
 
 
 if __name__ == "__main__":

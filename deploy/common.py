@@ -61,11 +61,12 @@ class JitRunner:
                 x = (x * self.scale - self.mean) / self.std
             return self.model.apply(variables, x, train=False)
 
+        from pytorchocr_tpu.ops import quant as quant_ops
+
         self._forward = forward
-        self._jitted = jax.jit(forward)
-        # separate jit cache for the int8 trace: jax.jit's cache does not key
-        # on the quant context, only on arg structure
-        self._jitted_int8 = jax.jit(forward)
+        # mode-aware jit: the quantization mode is part of the cache key, so
+        # float and int8 traces can never be confused (ops/quant.py:quant_jit)
+        self._jitted = quant_ops.quant_jit(forward)
 
     def _normalize(self, images):
         x = jnp.asarray(images).astype(jnp.float32)
@@ -90,8 +91,7 @@ class JitRunner:
             if "quant" not in self.variables:
                 raise ValueError("quant=True requires calibrate() first")
             with quant_ops.quantized("int8"):
-                # jit caches per shape; trace happens under the int8 context
-                return self._jitted_int8(self.variables, jnp.asarray(images))
+                return self._jitted(self.variables, jnp.asarray(images))
         return self._jitted(self.variables, jnp.asarray(images))
 
 

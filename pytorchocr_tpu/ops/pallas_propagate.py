@@ -262,7 +262,17 @@ def segmented_runmax_pallas(vals, mask, axis):
     # directions' shift/where chains (measured: 6 hit Mosaic's scoped-vmem
     # limit at 408x1280)
     other = w if axis == 1 else h
-    band_cap = max(_VMEM_BUDGET // (other * 4 * 12), 8)
+    band_cap = _VMEM_BUDGET // (other * 4 * 12)
+    # Minimum TPU tile: 8 rows (axis=1 bands) / 128 columns (axis=0 bands).
+    # When even one minimum-width band blows the VMEM budget (very large
+    # `other` extent, e.g. maps taller than ~2k rows for axis=0), fall back
+    # to the XLA associative-scan path instead of flooring the band to 0
+    # (which used to ZeroDivisionError in _pad_to at trace time).
+    min_band = 8 if axis == 1 else 128
+    if band_cap < min_band:
+        from .cc_label import _segmented_runmax
+
+        return _segmented_runmax(vals, mask.astype(bool), axis)
     if axis == 1:
         band = min((band_cap // 8) * 8, ((h + 7) // 8) * 8)
         vp = _pad_to(vals, band, 0)

@@ -33,13 +33,14 @@ conv epilogue as usual.
 """
 
 import contextlib
+import functools
 from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["mode", "quantized", "calibrate", "QuantConv"]
+__all__ = ["mode", "quantized", "calibrate", "quant_jit", "QuantConv"]
 
 _MODE = None
 
@@ -60,6 +61,29 @@ def quantized(m: str = "int8"):
         yield
     finally:
         _MODE = prev
+
+
+def quant_jit(fn, **jit_kwargs):
+    """Mode-aware ``jax.jit``: the current quantization mode becomes part of
+    the jit cache key, so each mode gets its own trace.
+
+    Plain ``jax.jit`` does NOT key on the module-level mode (it is read at
+    trace time only), so a function traced outside ``quantized()`` silently
+    reuses the float trace when later called inside it.  Wrap deploy-path
+    forwards with this instead of juggling separate jit objects per mode.
+    """
+
+    @functools.partial(jax.jit, static_argnums=0, **jit_kwargs)
+    def _inner(m, *args):
+        # tracing happens inside the jit call, under the requested mode; the
+        # static arg keys the cache so each mode traces exactly once per shape
+        with quantized(m):
+            return fn(*args)
+
+    def wrapper(*args):
+        return _inner(_MODE, *args)
+
+    return wrapper
 
 
 def _symmetric_qparams(absmax, eps=1e-6):

@@ -70,3 +70,19 @@ def test_segmented_runmax_pallas_matches_xla_scan():
                 _segmented_runmax(jnp.asarray(vals), jnp.asarray(mask), axis)
             )
             np.testing.assert_array_equal(got, want, err_msg=f"{h}x{w} axis={axis}")
+
+
+def test_segmented_runmax_tall_map_falls_back():
+    """Maps taller than ~2k rows used to floor the axis=0 column band to 0
+    (ZeroDivisionError at trace time, ADVICE r1); now they take the XLA
+    associative-scan fallback and still produce the exact per-run max."""
+    from pytorchocr_tpu.ops.cc_label import _segmented_runmax
+    from pytorchocr_tpu.ops.pallas_propagate import segmented_runmax_pallas
+
+    rng = np.random.RandomState(3)
+    h, w = 2304, 256  # band_cap = VMEM/(h*48) < 128 -> fallback path
+    vals = jnp.asarray(rng.randint(0, 1 << 20, size=(h, w)), jnp.int32)
+    mask = jnp.asarray(rng.rand(h, w) > 0.4)
+    got = segmented_runmax_pallas(vals, mask, axis=0)
+    want = _segmented_runmax(vals, mask, axis=0)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

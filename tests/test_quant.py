@@ -137,3 +137,25 @@ def test_jitrunner_quant_roundtrip():
     y_int8 = np.asarray(runner(imgs), np.float32)
     denom = np.abs(y_float).mean() + 1e-6
     assert np.abs(y_int8 - y_float).mean() / denom < 0.08
+
+
+def test_quant_jit_mode_is_cache_key():
+    """quant_jit keys the jit cache on the quantization mode: a function
+    first traced in float mode must NOT silently reuse that trace when later
+    called inside quantized() (ADVICE r1 — plain jax.jit does exactly that)."""
+    model = _small_stack()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    calibrated = quant.calibrate(model, variables, [x])
+
+    f = quant.quant_jit(lambda v, xx: model.apply(v, xx))
+    y_float = np.asarray(f(calibrated, x), np.float32)  # traced in float mode
+    with quant.quantized("int8"):
+        y_int8 = np.asarray(f(calibrated, x), np.float32)
+
+    # the int8 call must have produced a genuinely quantized result (small
+    # but non-zero rounding error), not replayed the float executable
+    assert not np.array_equal(y_float, y_int8)
+    denom = np.abs(y_float).mean() + 1e-6
+    assert np.abs(y_int8 - y_float).mean() / denom < 0.05
