@@ -1,6 +1,19 @@
 """Deploy-side helpers: config loading re-export + result drawing
-(reference deploy/utils.py).  Fonts: pass --font_path for CJK text; falls
-back to PIL's default bitmap font."""
+(reference deploy/utils.py — its CJK viz uses the shipped fs_GB2312.ttf,
+reference deploy/utils.py:65-120).
+
+Fonts: pass --font_path for CJK text.  Without it, a CJK-capable system
+font is auto-discovered from common install locations (Noto Sans CJK,
+WenQuanYi, Droid Sans Fallback, ...); if none exists, drawing degrades to
+PIL's default bitmap font and a ONE-TIME warning explains that CJK glyphs
+will render as tofu and how to fix it (install fonts-noto-cjk or pass
+--font_path).  The 6,622-char Chinese charset cannot be rendered without
+real glyph data, so this is a hard external dependency for visualization
+only — recognition itself never touches fonts."""
+
+import glob
+import os
+import warnings
 
 import cv2
 import numpy as np
@@ -8,13 +21,55 @@ from PIL import Image, ImageDraw, ImageFont
 
 from pytorchocr_tpu.utils.config import load_config, merge_config  # noqa: F401
 
+# Common CJK-capable font locations across distros (first hit wins).
+_CJK_FONT_GLOBS = [
+    "/usr/share/fonts/**/NotoSansCJK*.ttc",
+    "/usr/share/fonts/**/NotoSansCJK*.otf",
+    "/usr/share/fonts/**/NotoSerifCJK*.ttc",
+    "/usr/share/fonts/**/wqy*.ttc",
+    "/usr/share/fonts/**/wqy*.ttf",
+    "/usr/share/fonts/**/DroidSansFallback*.ttf",
+    "/usr/share/fonts/**/SourceHanSans*.otf",
+    "/System/Library/Fonts/PingFang.ttc",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "fonts", "*.tt[fc]"),
+]
 
-def _font(font_path, size):
+_warned_no_cjk = False
+
+
+def _find_cjk_font():
+    for pattern in _CJK_FONT_GLOBS:
+        hits = sorted(glob.glob(pattern, recursive=True))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _font(font_path, size, want_cjk=True):
     if font_path:
         try:
             return ImageFont.truetype(font_path, size, encoding="UTF-8")
         except Exception:
-            pass
+            warnings.warn("could not load font %r; falling back" % font_path)
+    if want_cjk:
+        found = _find_cjk_font()
+        if found:
+            try:
+                return ImageFont.truetype(found, size, encoding="UTF-8")
+            except Exception:
+                pass
+        else:
+            global _warned_no_cjk
+            if not _warned_no_cjk:
+                _warned_no_cjk = True
+                warnings.warn(
+                    "no CJK-capable font found: Chinese characters in result "
+                    "visualizations will render as placeholder boxes. Install "
+                    "one (e.g. apt install fonts-noto-cjk) or pass "
+                    "--font_path /path/to/font.ttf (the reference ships "
+                    "fs_GB2312.ttf for this). Recognition output text in the "
+                    "res_*.txt files is unaffected."
+                )
     try:
         return ImageFont.load_default(size)
     except TypeError:  # older PIL
