@@ -26,6 +26,14 @@ def _process_info():
 
 def build_dataloader(config, mode, logger, seed=None):
     config = copy.deepcopy(config)
+    if seed is None:
+        # Every process MUST agree on the dataset order or the per-host
+        # shards (order[shard::num_shards]) overlap/miss samples — the same
+        # contract DistributedSampler has in the reference
+        # (pytocr/data/__init__.py:42-47, epoch-seeded common permutation).
+        # An unseeded RNG draws different orders per process, so default to
+        # the run seed instead of entropy.
+        seed = config["Global"].get("seed", 2022)
 
     support_dict = ["SimpleDataSet", "PubTabDataSet"]
     module_name = config[mode]["dataset"]["name"]
