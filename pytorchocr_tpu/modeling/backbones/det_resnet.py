@@ -10,7 +10,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..common import ConvBNAct, max_pool
+from ..common import ConvBNAct, finish_residual, quant_max_pool
 
 __all__ = ["ResNet"]
 
@@ -32,20 +32,25 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # emit_q: under int8 PTQ every tensor this block writes to HBM is
+        # int8 (conv1 out, conv2 out, downsample out, and — via
+        # finish_residual — the block output), halving activation traffic
+        # on the bandwidth-bound 736x1280 det path. No-op in float/train.
         identity = x
         out = ConvBNAct(
             self.planes, 3, self.stride, dilation=self.dilation, act="relu",
-            dtype=self.dtype, name="conv1",
+            dtype=self.dtype, emit_q=True, name="conv1",
         )(x, train)
         out = ConvBNAct(
             self.planes, 3, 1, dilation=self.dilation, act=None,
-            dtype=self.dtype, name="conv2",
+            dtype=self.dtype, emit_q=True, name="conv2",
         )(out, train)
         if self.downsample:
             identity = ConvBNAct(
-                self.planes, 1, self.stride, act=None, dtype=self.dtype, name="downsample"
+                self.planes, 1, self.stride, act=None, dtype=self.dtype,
+                emit_q=True, name="downsample",
             )(x, train)
-        return nn.relu(out + identity)
+        return finish_residual(self, out, identity, self.dtype, nn.relu, train)
 
 
 class Bottleneck(nn.Module):
@@ -59,23 +64,23 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = ConvBNAct(self.planes, 1, 1, act="relu", dtype=self.dtype, name="conv1")(
-            x, train
-        )
+        out = ConvBNAct(self.planes, 1, 1, act="relu", dtype=self.dtype,
+                        emit_q=True, name="conv1")(x, train)
         # v1.5: stride in the 3x3
         out = ConvBNAct(
             self.planes, 3, self.stride, dilation=self.dilation, act="relu",
-            dtype=self.dtype, name="conv2",
+            dtype=self.dtype, emit_q=True, name="conv2",
         )(out, train)
         out = ConvBNAct(
-            self.planes * self.expansion, 1, 1, act=None, dtype=self.dtype, name="conv3"
+            self.planes * self.expansion, 1, 1, act=None, dtype=self.dtype,
+            emit_q=True, name="conv3",
         )(out, train)
         if self.downsample:
             identity = ConvBNAct(
                 self.planes * self.expansion, 1, self.stride, act=None,
-                dtype=self.dtype, name="downsample",
+                dtype=self.dtype, emit_q=True, name="downsample",
             )(x, train)
-        return nn.relu(out + identity)
+        return finish_residual(self, out, identity, self.dtype, nn.relu, train)
 
 
 class ResNet(nn.Module):
@@ -104,9 +109,10 @@ class ResNet(nn.Module):
             x = ConvBNAct(64, 3, 1, act="relu", dtype=self.dtype, name="stem3")(x, train)
         else:
             x = ConvBNAct(
-                64, 7, 2, padding=3, act="relu", dtype=self.dtype, name="stem"
+                64, 7, 2, padding=3, act="relu", dtype=self.dtype,
+                emit_q=True, name="stem",
             )(x, train)
-        x = max_pool(x, 3, 2, 1)
+        x = quant_max_pool(x, 3, 2, 1)
 
         outs = []
         planes = [64, 128, 256, 512]
@@ -117,7 +123,8 @@ class ResNet(nn.Module):
                 stride, dilation = 1, 2
             for i in range(counts[stage]):
                 s = stride if i == 0 else 1
-                need_ds = i == 0 and (s != 1 or x.shape[-1] != planes[stage] * exp)
+                ch = getattr(x, "q", x).shape[-1]  # x may be an int8 QTensor
+                need_ds = i == 0 and (s != 1 or ch != planes[stage] * exp)
                 x = Block(
                     planes[stage],
                     stride=s,

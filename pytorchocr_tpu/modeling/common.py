@@ -64,6 +64,12 @@ class ConvBNAct(nn.Module):
     bn_eps: float = 1e-5
     bn_momentum: float = 0.9
     dtype: Any = jnp.float32
+    # int8 activation flow (ops/quant.py:QTensor): under int8 PTQ, quantize
+    # the post-BN/act output with a calibrated absmax and return a QTensor,
+    # so the tensor crosses HBM as int8 (half the bandwidth of bf16). Set
+    # at call sites whose consumers are themselves quantized convs/adds.
+    emit_q: bool = False
+    q_region: str = "q8_backbone"  # feature gate (ops/quant.py:FLAGS)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,7 +86,10 @@ class ConvBNAct(nn.Module):
         else:
             pad = self.padding
         qmode = quant_ops.mode()
-        if qmode is not None and not train:
+        quantized = qmode is not None and not train
+        if not quantized:
+            x = quant_ops.dequant(x, self.dtype)  # defensive: q8 flow is PTQ-only
+        if quantized:
             # int8 PTQ path (ops/quant.py): same param tree as nn.Conv, conv
             # runs int8 x int8 -> int32 on the MXU with calibrated scales
             x = quant_ops.QuantConv(
@@ -121,7 +130,54 @@ class ConvBNAct(nn.Module):
             )(x)
         if self.act is not None:
             x = ACTS[self.act](x)
+        if self.emit_q and quantized and quant_ops.flag(self.q_region):
+            out_absmax = self.variable(
+                "quant", "out_absmax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if qmode == "calibrate":
+                if self.is_mutable_collection("quant"):
+                    out_absmax.value = jnp.maximum(
+                        out_absmax.value,
+                        jnp.max(jnp.abs(x)).astype(jnp.float32),
+                    )
+            else:  # int8: producer-side quantization -> int8 in HBM
+                return quant_ops.qtensor_from(x, out_absmax.value)
         return x
+
+
+def finish_residual(mod, out, identity, dtype, act_fn, train=False):
+    """Residual-add + activation tail shared by ResNet-style blocks, with
+    the int8-activation-flow fast path under PTQ (ops/quant.py):
+
+      * int8 mode: both operands are read from HBM as int8 QTensors, the
+        fused add/act requantizes with the block's calibrated out_absmax,
+        and the block output stays int8 in HBM;
+      * calibrate mode: float math + record the block-output absmax;
+      * float/training: plain `act(out + identity)`.
+    """
+    qmode = quant_ops.mode()
+    quantized = (qmode is not None and not train
+                 and quant_ops.flag("q8_backbone"))
+    if quantized:
+        absmax = mod.variable(
+            "quant", "out_absmax", lambda: jnp.zeros((), jnp.float32)
+        )
+        if qmode == "int8":
+            return quant_ops.qadd_act(out, identity, absmax.value, act=act_fn)
+    y = act_fn(quant_ops.dequant(out, dtype) + quant_ops.dequant(identity, dtype))
+    if quantized and qmode == "calibrate" and mod.is_mutable_collection("quant"):
+        absmax.value = jnp.maximum(
+            absmax.value, jnp.max(jnp.abs(y)).astype(jnp.float32)
+        )
+    return y
+
+
+def quant_max_pool(x, window, stride, padding):
+    """max_pool that keeps an int8 QTensor int8 (max commutes with the
+    positive scale); plain arrays take the normal max_pool."""
+    if isinstance(x, quant_ops.QTensor):
+        return quant_ops.qmaxpool(x, window, stride, padding)
+    return max_pool(x, window, stride, padding)
 
 
 class SEModule(nn.Module):
