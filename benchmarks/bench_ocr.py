@@ -54,7 +54,14 @@ def render_pages(rng, n_pages, lines_per_page=20):
 
 
 def quick_train_det(arch_cfg, steps=150):
-    """Train the det model to localize dark word-blocks (synthetic)."""
+    """Train the det model to localize dark word-blocks (synthetic).
+
+    The training images go through the SAME value pipeline the deploy
+    preprocessing applies (uint8 RGB -> /255 -> ImageNet mean/std) and the
+    same word-block texture render_pages() draws, so the quick-trained
+    model sees the bench pages in-distribution at inference time (round-2
+    postmortem: unnormalized 0.9/0.1 training images made the deployed
+    detector miss ~95% of lines)."""
     import jax
     import jax.numpy as jnp
 
@@ -66,17 +73,22 @@ def quick_train_det(arch_cfg, steps=150):
 
     rng = np.random.RandomState(0)
     n, hw = 8, 320
-    images = np.full((n, hw, hw, 3), 0.9, np.float32)
+    raw = np.full((n, hw, hw, 3), (232, 232, 228), np.float32)  # page bg
     shrink_map = np.zeros((n, hw, hw), np.float32)
     thresh_map = np.full((n, hw, hw), 0.3, np.float32)
     thresh_mask = np.zeros((n, hw, hw), np.float32)
     for i in range(n):
-        for _ in range(6):
+        for _ in range(8):
             x, y = rng.randint(4, hw - 120), rng.randint(4, hw - 40)
             w, h = rng.randint(60, 110), rng.randint(20, 34)
-            images[i, y : y + h, x : x + w, :] = 0.1
+            raw[i, y : y + h, x : x + w, :] = (25, 22, 28)  # word block
+            for gx in range(x + 8, x + w - 4, 14):  # glyph-ish gaps
+                raw[i, y + 2 : y + h - 2, gx : gx + 2, :] = (70, 70, 80)
             sx, sy = int(w * 0.2), int(h * 0.2)
             shrink_map[i, y + sy : y + h - sy, x + sx : x + w - sx] = 1.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    images = (raw / 255.0 - mean) / std
     shrink_mask = np.ones((n, hw, hw), np.float32)
 
     model = build_model(arch_cfg)

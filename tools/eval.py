@@ -3,6 +3,17 @@ tools/program.py:421-473 — this makes it a first-class entry point).
 
 Usage: python tools/eval.py -c configs/det/det_r18_db.yml \
            -o Global.checkpoints=./output/det/det_r18_db/best_accuracy
+
+int8 PTQ evaluation (quality counterpart of the TensorRT-int8 engine the
+reference builds in deploy/onnx2trt.ipynb — here the SAME eval pipeline
+runs with int8 MXU convs so the metric delta vs bf16 is directly
+comparable):
+
+    python tools/eval.py -c ... -o Global.checkpoints=... \
+        Global.quant=true [Global.quant_calib_n=8]
+
+Calibration uses the first ``quant_calib_n`` eval batches (activation
+absmax running max — ops/quant.py:calibrate).
 """
 
 import os
@@ -49,16 +60,44 @@ def main(config, rng, logger, tsb_writer):
     state = create_train_state(model, tx, rng, example_batch)
     state, _ = load_model(config, state, logger)
 
-    eval_step = make_eval_step(model, mesh)
-    metric = program.evaluate(
-        state,
-        eval_step,
-        mesh,
-        valid_dataloader,
-        post_process_class,
-        build_metric(config["Metric"]),
-        config["Architecture"].get("model_type"),
-    )
+    if global_config.get("quant", False):
+        from pytorchocr_tpu.ops import quant as quant_ops
+
+        calib_n = int(global_config.get("quant_calib_n", 8))
+        calib = []
+        for i, b in enumerate(valid_dataloader):
+            calib.append(jnp.asarray(b[0]))
+            if i + 1 >= calib_n:
+                break
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logger.info("int8 PTQ: calibrating on %d eval batches", len(calib))
+        qvars = quant_ops.calibrate(model, variables, calib)["quant"]
+
+        def eval_fn(params, batch_stats, images):
+            vs = {"params": params, "quant": qvars}
+            if batch_stats:
+                vs["batch_stats"] = batch_stats
+            return model.apply(vs, images, train=False)
+
+        eval_step = quant_ops.quant_jit(eval_fn)
+        quant_ctx = quant_ops.quantized("int8")
+    else:
+        import contextlib
+
+        eval_step = make_eval_step(model, mesh)
+        quant_ctx = contextlib.nullcontext()
+    with quant_ctx:
+        metric = program.evaluate(
+            state,
+            eval_step,
+            mesh,
+            valid_dataloader,
+            post_process_class,
+            build_metric(config["Metric"]),
+            config["Architecture"].get("model_type"),
+        )
     logger.info(
         "metric eval ***************\n%s",
         "\n".join("{}: {}".format(k, v) for k, v in metric.items()),
