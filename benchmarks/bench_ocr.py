@@ -175,18 +175,18 @@ def main():
             cv2.imwrite(path, p)
             page_paths.append(path)
 
-        # warmup: compile det graph + rec width buckets
+        # warmup: compile det batch buckets + rec width buckets (run_many is
+        # the throughput entry point — batched det over pages, one rec batch
+        # over every line of every page)
         print("warmup...", flush=True)
-        res = ocr.run(page_paths[0])
-        n_boxes_warm = len(res)
-        print("  warm page: %d lines" % n_boxes_warm, flush=True)
+        warm = ocr.run_many(page_paths)
+        print("  warm: %d lines over %d pages"
+              % (sum(len(r) for r in warm), len(warm)), flush=True)
 
         t0 = time.time()
-        total_lines = 0
-        for path in page_paths:
-            res = ocr.run(path)
-            total_lines += len(res)
+        all_res = ocr.run_many(page_paths)
         elapsed = time.time() - t0
+        total_lines = sum(len(r) for r in all_res)
 
     pages_per_sec = args.pages / elapsed
     lines_per_sec = total_lines / elapsed

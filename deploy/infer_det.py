@@ -76,7 +76,14 @@ class Deter:
         self.det_ops = create_operators(det_transforms, det_cfg["Global"])
 
     def _preprocess(self, img_path):
-        img = cv2.imdecode(np.fromfile(str(img_path), dtype=np.uint8), cv2.IMREAD_COLOR)
+        # accepts a path OR an already-decoded BGR array (run_ocr.py decodes
+        # each page exactly once and shares it across det/crop stages)
+        if isinstance(img_path, np.ndarray):
+            img = img_path
+        else:
+            img = cv2.imdecode(
+                np.fromfile(str(img_path), dtype=np.uint8), cv2.IMREAD_COLOR
+            )
         if self.det_img_mode == "RGB":
             det_img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         else:
@@ -99,6 +106,42 @@ class Deter:
         det_preds = self.runner(det_img)
         det_post_result = self.det_post_process_class(det_preds, det_shape_list)
         return sort_boxes(det_post_result[0]["points"])
+
+    def run_batch(self, imgs):
+        """Batched detection over decoded BGR arrays: one device forward per
+        distinct post-resize shape instead of one per image (the postprocess
+        is batch-aware end to end, incl. the on-device CC path).  Returns a
+        list of sorted box arrays, one per input image, in input order.
+        """
+        pre = [self._preprocess(im) for im in imgs]
+        if self._want_quant and not self.runner.quant:
+            self.runner.calibrate([p[0] for p in pre[: max(1, len(pre) // 2)]])
+        groups = {}  # post-resize shape -> indices (DetResizeForTest is
+        for i, (det_img, _) in enumerate(pre):  # input-size dependent)
+            groups.setdefault(det_img.shape, []).append(i)
+        results = [None] * len(imgs)
+        MAX_BS = 16
+        for idxs in groups.values():
+            for c in range(0, len(idxs), MAX_BS):
+                chunk = idxs[c : c + MAX_BS]
+                # pad to the next power of two: <=5 traced batch sizes per
+                # shape instead of one compile per distinct page count
+                bs = 1 << (len(chunk) - 1).bit_length()
+                det_imgs = np.concatenate(
+                    [pre[i][0] for i in chunk]
+                    + [pre[chunk[0]][0]] * (bs - len(chunk)),
+                    axis=0,
+                )
+                shape_list = np.concatenate(
+                    [pre[i][1] for i in chunk]
+                    + [pre[chunk[0]][1]] * (bs - len(chunk)),
+                    axis=0,
+                )
+                det_preds = self.runner(det_imgs)
+                post = self.det_post_process_class(det_preds, shape_list)
+                for j, i in enumerate(chunk):
+                    results[i] = sort_boxes(post[j]["points"])
+        return results
 
 
 def main():

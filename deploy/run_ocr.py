@@ -61,8 +61,9 @@ class OCRer:
         )
 
     def run(self, img_path):
+        # decode once; det reuses the array (it used to re-decode the file)
         img = cv2.imdecode(np.fromfile(str(img_path), dtype=np.uint8), cv2.IMREAD_COLOR)
-        boxes = self.deter.run(img_path)
+        boxes = self.deter.run(img)
 
         # crop all lines first (host), then batch the device work
         part_imgs = []
@@ -85,6 +86,47 @@ class OCRer:
             [np.asarray(box), text, prob]
             for box, (text, prob) in zip(boxes, rec_results)
         ]
+
+    def run_many(self, img_paths):
+        """Fully batched multi-page OCR: ONE padded det forward per page
+        shape/size bucket, then ONE cls and ONE rec padded batch over the
+        text lines of ALL pages.  This is the throughput entry point — the
+        per-stage device dispatches are amortized over the whole page set
+        instead of paid per page (and the reference pays them per LINE,
+        reference deploy/pytorch/run_ocr.py:187-227).  Returns one result
+        list per page, same format as run().
+        """
+        imgs = [
+            cv2.imdecode(np.fromfile(str(p), dtype=np.uint8), cv2.IMREAD_COLOR)
+            for p in img_paths
+        ]
+        boxes_per_page = self.deter.run_batch(imgs)
+
+        part_imgs = []
+        for img, boxes in zip(imgs, boxes_per_page):
+            for box in boxes:
+                part_img = get_part_img(img, np.asarray(box, dtype=np.float32))
+                h, w = part_img.shape[:2]
+                if h >= 1.5 * w:
+                    part_img = np.rot90(part_img, 1)
+                part_imgs.append(part_img)
+
+        if self.clser is not None and part_imgs:
+            cls_results = self.clser.run_batch(part_imgs)
+            part_imgs = [
+                cv2.rotate(im, cv2.ROTATE_180) if cls_res[0] == "180" else im
+                for im, cls_res in zip(part_imgs, cls_results)
+            ]
+
+        rec_results = self.recer.run_batch(part_imgs) if part_imgs else []
+        out = [[] for _ in img_paths]
+        line = 0
+        for pi, boxes in enumerate(boxes_per_page):
+            for box in boxes:
+                text, prob = rec_results[line]
+                out[pi].append([np.asarray(box), text, prob])
+                line += 1
+        return out
 
 
 def main():
@@ -110,8 +152,8 @@ def main():
     out_dir = Path(args.out_dir or "./output")
     out_dir.mkdir(exist_ok=True, parents=True)
 
-    for img_path in img_paths:
-        ocr_res = ocrer.run(str(img_path))
+    all_res = ocrer.run_many([str(p) for p in img_paths])
+    for img_path, ocr_res in zip(img_paths, all_res):
         save_txt_path = out_dir.joinpath("res_" + str(img_path.stem) + ".txt")
         with open(str(save_txt_path), "w", encoding="UTF-8") as fp:
             for box, text, prob in ocr_res:

@@ -151,6 +151,16 @@ def test_ocr_pipeline_end_to_end(tmp_path):
         assert isinstance(text, str)
         assert 0.0 <= prob <= 1.0
 
+    # batched multi-page path must agree with the per-page path
+    many = ocrer.run_many([img_path, img_path])
+    assert len(many) == 2
+    for page_res in many:
+        assert len(page_res) == len(result)
+        for (b1, t1, p1), (b2, t2, p2) in zip(page_res, result):
+            np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
+            assert t1 == t2
+            np.testing.assert_allclose(p1, p2, rtol=1e-3, atol=1e-3)
+
 
 def test_aot_and_serialized_export(tmp_path):
     import jax.numpy as jnp
