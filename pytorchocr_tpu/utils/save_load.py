@@ -28,15 +28,17 @@ def _mkdir_if_not_exist(path):
 
 
 def _save_pytree(path, tree):
-    ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, jax.device_get(tree), force=True)
+    # context-manage the checkpointer: each instance owns threads/buffers
+    # that otherwise accumulate across the per-epoch `latest` saves
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(tree), force=True)
 
 
 def _restore_pytree(path, target=None):
-    ckptr = ocp.PyTreeCheckpointer()
-    if target is not None:
-        return ckptr.restore(path, item=jax.device_get(target))
-    return ckptr.restore(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(path, item=jax.device_get(target))
+        return ckptr.restore(path)
 
 
 def save_model(state, global_state, cfg, model_dir, logger=None,

@@ -78,9 +78,27 @@ def preprocess(is_train=False):
     if platform:
         jax.config.update("jax_platforms", platform)
 
+    # persistent XLA compilation cache: repeated CLI invocations (train ->
+    # eval -> eval --quant -> infer) skip the multi-minute TPU recompiles.
+    # Default on for TPU runs; point elsewhere / disable with
+    # OCR_TPU_COMPILE_CACHE=<dir|off>.
+    cache_dir = os.environ.get("OCR_TPU_COMPILE_CACHE", "")
+    if cache_dir != "off" and platform != "cpu":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            cache_dir or os.path.expanduser("~/.cache/pytorchocr_tpu_xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     args = ArgsParser().parse_args()
     config = load_config(args.config)
     merge_config(config, args.opt)
+
+    # set by the host-RSS watchdog before it re-execs a leaking train
+    # process (see train()); overrides Global.checkpoints for the resume
+    resume = os.environ.pop("OCR_TPU_RESUME", None)
+    if resume:
+        config["Global"]["checkpoints"] = resume
 
     if is_train:
         save_model_dir = config["Global"]["save_model_dir"]
@@ -121,12 +139,25 @@ def preprocess(is_train=False):
     return config, rng, logger, tsb_writer
 
 
-def _device_batch(batch, mesh):
-    """numpy batch list -> tuple with ndarray fields sharded on device."""
+def _device_batch(batch, mesh, wire_dtype=None):
+    """numpy batch list -> tuple with ndarray fields sharded on device.
+
+    ``wire_dtype``: optional narrower dtype for float32 fields on the wire
+    (host->device). Under bf16 compute the model casts inputs down anyway,
+    so shipping f32 over PCIe/tunnel wastes 2x the bytes — and in this
+    environment every transferred byte is also LEAKED host-side by the
+    tunneled PJRT client (measured ~1.0x bytes/transfer, see
+    Global.max_host_rss_gb below), so halving wire bytes halves the leak.
+    The numpy array goes straight to device_put with its sharding — the
+    previous jnp.asarray() staged an extra full transfer to the default
+    device before resharding (1.5x leak, 2x H2D traffic).
+    """
     out = []
     for item in batch:
         if isinstance(item, np.ndarray) and item.dtype != object and item.dtype.kind in "fiub":
-            out.append(shard_batch(jnp.asarray(item), mesh))
+            if wire_dtype is not None and item.dtype == np.float32:
+                item = item.astype(wire_dtype)
+            out.append(shard_batch(item, mesh))
         else:
             out.append(item)
     return tuple(out)
@@ -216,6 +247,41 @@ def train(
     profile_end = global_config.get("profile_end_step", 15)
     profiling = False
 
+    def _host_rss_gb():
+        """Host anon RSS of this process (GB) — logged every print step so a
+        host-memory leak is visible in the train log long before the kernel
+        OOM-kills a multi-hour run."""
+        try:
+            with open("/proc/self/statm") as f:
+                return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 2**30
+        except Exception:
+            return float("nan")
+
+    # wire dtype for train batches (see _device_batch): default bf16 under
+    # use_amp (model computes in bf16 anyway), f32 otherwise; override with
+    # Global.wire_dtype: bf16|f16|f32.
+    wd_cfg = str(
+        global_config.get(
+            "wire_dtype", "bf16" if global_config.get("use_amp") else "f32"
+        )
+    )
+    if wd_cfg in ("bf16", "bfloat16"):
+        import ml_dtypes
+
+        wire_dtype = ml_dtypes.bfloat16
+    elif wd_cfg in ("f16", "float16"):
+        wire_dtype = np.float16
+    else:
+        wire_dtype = None
+
+    # Host-RSS watchdog: the tunneled PJRT client in this environment leaks
+    # ~1x every transferred byte in host anon memory (measured; a 60-epoch
+    # det run reached 130 GB and was OOM-killed by the kernel).  When RSS
+    # crosses the limit at an epoch boundary, the freshly-saved `latest`
+    # checkpoint is re-exec'd into a clean process (resume is exact:
+    # state/opt_state/global_step round-trip through orbax).  0 disables.
+    max_host_rss_gb = float(global_config.get("max_host_rss_gb", 64))
+
     loss_window = []  # deferred device->host loss fetch (see hot loop)
 
     def _drain_loss_window():
@@ -252,14 +318,22 @@ def train(
                         mesh, PartitionSpec(None, "data")
                     )
                     sdev = tuple(
-                        jax.device_put(jnp.asarray(x), stacked_sharding)
+                        jax.device_put(
+                            x.astype(wire_dtype)
+                            if wire_dtype is not None
+                            and getattr(x, "dtype", None) == np.float32
+                            else x,
+                            stacked_sharding,
+                        )
                         for x in stacked
                     )
                     state, losses = multi_step(state, sdev)
                     n_done = steps_per_dispatch
                 else:  # epoch tail: per-step dispatch for the remainder
                     for b in pending:
-                        state, losses = train_step(state, _device_batch(b, mesh))
+                        state, losses = train_step(
+                            state, _device_batch(b, mesh, wire_dtype)
+                        )
                     n_done = len(pending)
                 loss_window.append((losses, lr))
                 if len(loss_window) > log_smooth_window:
@@ -275,13 +349,15 @@ def train(
                     logs = train_stats.log()
                     logger.info(
                         "epoch: [{}/{}], iter: {}, {}, reader_cost: {:.5f} s, "
-                        "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}".format(
+                        "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}, "
+                        "host_rss: {:.2f} GB".format(
                             epoch + 1, epoch_num, global_step, logs,
                             train_reader_cost / print_batch_step,
                             (train_reader_cost + train_run_cost) / print_batch_step,
                             total_samples,
                             total_samples
                             / (train_reader_cost + train_run_cost + 1e-9),
+                            _host_rss_gb(),
                         )
                     )
                     train_reader_cost = 0.0
@@ -290,7 +366,7 @@ def train(
                 reader_start = time.time()
                 continue
 
-            batch = _device_batch(batch_np, mesh)
+            batch = _device_batch(batch_np, mesh, wire_dtype)
             train_reader_cost += time.time() - reader_start
             lr = float(lr_schedule(global_step))
 
@@ -336,7 +412,8 @@ def train(
                 logs = train_stats.log()
                 strs = (
                     "epoch: [{}/{}], iter: {}, {}, reader_cost: {:.5f} s, "
-                    "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}".format(
+                    "batch_cost: {:.5f} s, samples: {}, ips: {:.5f}, "
+                    "host_rss: {:.2f} GB".format(
                         epoch + 1,
                         epoch_num,
                         global_step,
@@ -345,6 +422,7 @@ def train(
                         (train_reader_cost + train_run_cost) / print_batch_step,
                         total_samples,
                         total_samples / (train_reader_cost + train_run_cost + 1e-9),
+                        _host_rss_gb(),
                     )
                 )
                 logger.info(strs)
@@ -383,7 +461,7 @@ def train(
             if cur_metric[main_indicator] >= best_model_dict[main_indicator]:
                 best_model_dict.update(cur_metric)
                 best_model_dict["best_model_epoch"] = epoch + 1
-                global_state["start_epoch"] = epoch
+                global_state["start_epoch"] = epoch + 1  # resume AFTER this epoch
                 global_state["best_model"] = best_model_dict
                 global_state["global_step"] = global_step
                 save_model(
@@ -402,7 +480,7 @@ def train(
                 )
 
         if jax.process_index() == 0:
-            global_state["start_epoch"] = epoch
+            global_state["start_epoch"] = epoch + 1  # resume AFTER this epoch
             global_state["best_model"] = best_model_dict
             global_state["global_step"] = global_step
             save_model(
@@ -418,6 +496,26 @@ def train(
                     state, global_state, config, save_model_dir, logger,
                     is_best=False, prefix="epoch_{}".format(epoch),
                 )
+
+        if (
+            max_host_rss_gb > 0
+            and jax.process_count() == 1
+            and epoch + 1 < epoch_num
+            and _host_rss_gb() > max_host_rss_gb
+        ):
+            latest = os.path.abspath(os.path.join(save_model_dir, "latest"))
+            logger.warning(
+                "host RSS %.1f GB > Global.max_host_rss_gb=%.0f "
+                "(per-transfer host-memory leak in the tunneled PJRT "
+                "client); re-exec'ing with resume from %s",
+                _host_rss_gb(), max_host_rss_gb, latest,
+            )
+            if tsb_writer is not None:
+                tsb_writer.close()
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.environ["OCR_TPU_RESUME"] = latest
+            os.execv(sys.executable, [sys.executable] + sys.argv)
 
     if jax.process_index() == 0:
         best_str = "best metric, {}".format(
@@ -442,7 +540,9 @@ def evaluate(
     total_frame = 0.0
     total_time = 0.0
     for idx, batch_np in enumerate(valid_dataloader):
-        images = shard_or_replicate(jnp.asarray(batch_np[0]), mesh)
+        # numpy goes straight to device_put with its sharding (an
+        # intermediate jnp.asarray would stage a second full transfer)
+        images = shard_or_replicate(np.asarray(batch_np[0]), mesh)
         start = time.time()
         if model_type == "table":
             preds = eval_step(state.params, state.batch_stats, images)
