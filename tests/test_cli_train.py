@@ -102,7 +102,9 @@ def test_train_cli_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(save_dir, "config.yml"))
     with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
         gs = json.load(f)
-    assert gs["start_epoch"] == 1 and gs["global_step"] == 4  # 2 epochs x 2 iters
+    # start_epoch is the NEXT epoch to run: resume continues after the
+    # last finished epoch instead of repeating it
+    assert gs["start_epoch"] == 2 and gs["global_step"] == 4  # 2 epochs x 2 iters
     assert "best metric" in result.stdout
 
     # resume for one more epoch from latest
@@ -117,9 +119,30 @@ def test_train_cli_end_to_end(tmp_path):
     assert "resume from" in result2.stdout
     with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
         gs2 = json.load(f)
-    # reference resume semantics (tools/program.py:371): start_epoch is the
-    # just-finished epoch index, so resuming re-runs it -> epochs 1,2 = +4
-    assert gs2["global_step"] == 8
+    # exactly one more epoch (epoch index 2) = +2 iters
+    assert gs2["global_step"] == 6
+
+
+@pytest.mark.slow
+def test_train_cli_host_rss_watchdog_reexec(tmp_path):
+    """Global.max_host_rss_gb: when host RSS crosses the limit at an epoch
+    boundary, the trainer saves `latest` and re-execs itself with resume
+    (mitigation for the tunneled-PJRT per-transfer host leak, see
+    tools/program.py).  A tiny limit forces a re-exec after every epoch;
+    the run must still complete all epochs with the right global_step."""
+    label_file = make_rec_dataset(str(tmp_path / "data"), n=16)
+    save_dir = str(tmp_path / "out_wd")
+    cfg_path = str(tmp_path / "cfg.yml")
+    with open(cfg_path, "w") as f:
+        f.write(CFG.format(save_dir=save_dir, label_file=label_file))
+
+    result = _run_train(cfg_path, ["Global.max_host_rss_gb=0.05"])
+    assert result.returncode == 0, result.stdout[-3000:] + result.stderr[-3000:]
+    assert "re-exec'ing with resume" in result.stdout + result.stderr
+    assert "resume from" in result.stdout
+    with open(os.path.join(save_dir, "latest", "global_state.json")) as f:
+        gs = json.load(f)
+    assert gs["start_epoch"] == 2 and gs["global_step"] == 4
 
 
 @pytest.mark.slow

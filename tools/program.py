@@ -282,6 +282,47 @@ def train(
     # state/opt_state/global_step round-trip through orbax).  0 disables.
     max_host_rss_gb = float(global_config.get("max_host_rss_gb", 64))
 
+    # Checkpoint-save hang watchdog: a wedged device client blocks the
+    # device_get inside save forever (observed once after ~2h through the
+    # tunnel: all threads futex-parked, while fresh processes could still
+    # reach the TPU).  A Python signal handler cannot interrupt a
+    # futex-parked C call, so a watchdog THREAD re-execs the process into
+    # a resume from the last finalized `latest` (orbax renames are atomic,
+    # so a half-written save never becomes `latest`).  Progress since that
+    # save is lost; an infinite hang is not.  0 disables.
+    save_timeout_s = int(global_config.get("save_timeout_s", 900))
+
+    def _save_with_timeout(*args, **kwargs):
+        if save_timeout_s <= 0 or jax.process_count() > 1:
+            save_model(*args, **kwargs)
+            return
+
+        import threading
+
+        done = threading.Event()
+
+        def _watch():
+            if done.wait(save_timeout_s):
+                return
+            latest = os.path.abspath(os.path.join(save_model_dir, "latest"))
+            logger.error(
+                "checkpoint save stuck for %ds (wedged device client?) — "
+                "re-exec'ing with resume from %s", save_timeout_s, latest,
+            )
+            sys.stdout.flush()
+            sys.stderr.flush()
+            if os.path.isdir(latest):
+                os.environ["OCR_TPU_RESUME"] = latest
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            os._exit(75)  # EX_TEMPFAIL: no checkpoint yet, let a supervisor retry
+
+        watcher = threading.Thread(target=_watch, daemon=True)
+        watcher.start()
+        try:
+            save_model(*args, **kwargs)
+        finally:
+            done.set()
+
     loss_window = []  # deferred device->host loss fetch (see hot loop)
 
     def _drain_loss_window():
@@ -464,7 +505,7 @@ def train(
                 global_state["start_epoch"] = epoch + 1  # resume AFTER this epoch
                 global_state["best_model"] = best_model_dict
                 global_state["global_step"] = global_step
-                save_model(
+                _save_with_timeout(
                     state, global_state, config, save_model_dir, logger,
                     is_best=True, prefix="best_accuracy",
                 )
@@ -483,7 +524,7 @@ def train(
             global_state["start_epoch"] = epoch + 1  # resume AFTER this epoch
             global_state["best_model"] = best_model_dict
             global_state["global_step"] = global_step
-            save_model(
+            _save_with_timeout(
                 state, global_state, config, save_model_dir, logger,
                 is_best=False, prefix="latest",
             )
@@ -492,7 +533,7 @@ def train(
                 and epoch + 1 > 0
                 and (epoch + 1) % save_epoch_step == 0
             ):
-                save_model(
+                _save_with_timeout(
                     state, global_state, config, save_model_dir, logger,
                     is_best=False, prefix="epoch_{}".format(epoch),
                 )
