@@ -55,14 +55,19 @@ class Deter:
         det_cfg["Global"]["distributed"] = False
         model = build_infer_model(det_cfg)
         variables = load_variables(det_ckpt)
-        self.runner = JitRunner(model, variables)
         self._want_quant = quant
         self.det_post_process_class = build_post_process(
             det_cfg["PostProcess"], det_cfg["Global"]
         )
-        # rebuild Eval ops minus label ops, KeepKeys -> [image, shape]
+        # rebuild Eval ops minus label ops, KeepKeys -> [image, shape].
+        # ToTensor + Normalize are FOLDED INTO THE DEVICE GRAPH (JitRunner
+        # mean/std — the reference needs a custom CUDA kernel for this,
+        # trt_utils.py:33-60): the host ships the resized uint8 image, 4x
+        # fewer wire bytes than a host-normalized f32 tensor.
         det_transforms = []
         self.det_img_mode = "RGB"
+        mean = std = None
+        saw_totensor = False
         for op in det_cfg["Eval"]["dataset"]["transforms"]:
             op_name = list(op)[0]
             if "DecodeImage" in op_name:
@@ -70,10 +75,20 @@ class Deter:
                 continue
             if "Label" in op_name:
                 continue
+            if op_name == "ToTensor":
+                saw_totensor = True  # /255 happens on device (JitRunner scale)
+                continue
+            if op_name == "Normalize":
+                mean = op[op_name]["mean"]
+                std = op[op_name]["std"]
+                continue
             if op_name == "KeepKeys":
                 op[op_name]["keep_keys"] = ["image", "shape"]
             det_transforms.append(op)
+        if saw_totensor and mean is None:
+            mean, std = [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]  # bare /255
         self.det_ops = create_operators(det_transforms, det_cfg["Global"])
+        self.runner = JitRunner(model, variables, mean=mean, std=std)
 
     def _preprocess(self, img_path):
         # accepts a path OR an already-decoded BGR array (run_ocr.py decodes
