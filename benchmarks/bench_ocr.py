@@ -163,7 +163,9 @@ def main():
         save_ckpt({"params": rec_vars["params"],
                    "batch_stats": rec_vars.get("batch_stats", {})}, rec_ckpt)
 
-        ocr = OCRer(det_cfg_path, det_ckpt, rec_cfg_path, rec_ckpt)
+        # int8-PTQ det (the deploy configuration; QUALITY.md: -0.0005 hmean)
+        ocr = OCRer(det_cfg_path, det_ckpt, rec_cfg_path, rec_ckpt,
+                    det_quant=True)
 
         rng = np.random.RandomState(7)
         pages = render_pages(rng, args.pages, args.lines)

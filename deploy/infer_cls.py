@@ -69,14 +69,21 @@ class Clser:
         return pred_cls, round(float(prob), 2)
 
     def run_batch(self, bgr_imgs):
-        """Padded-batch classification over many crops (TPU fast path)."""
+        """Padded-batch classification over many crops (TPU fast path).
+        Batch padded to the next power of two (<=512) so arbitrary crop
+        counts reuse a handful of compiled graphs (see Recer.run_batch)."""
         if not bgr_imgs:
             return []
-        batch = np.stack([self._prep(im) for im in bgr_imgs], axis=0)
-        cls_preds = self.runner(batch)
-        return [
-            (c, round(float(p), 2)) for c, p in self.cls_post_process_class(cls_preds)
-        ]
+        out = []
+        MAX_BS = 512
+        for c in range(0, len(bgr_imgs), MAX_BS):
+            chunk = [self._prep(im) for im in bgr_imgs[c : c + MAX_BS]]
+            bs = 1 << (len(chunk) - 1).bit_length()
+            batch = np.stack(chunk + [chunk[0]] * (bs - len(chunk)), axis=0)
+            cls_preds = self.runner(batch)
+            res = self.cls_post_process_class(cls_preds)
+            out.extend((cl, round(float(p), 2)) for cl, p in res[: len(chunk)])
+        return out
 
 
 def main():

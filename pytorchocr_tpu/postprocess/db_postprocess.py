@@ -112,6 +112,13 @@ class DBPostProcess:
             )
             for i in range(prob.shape[0])
         ]
+        # ONE device_get over the whole batch: jax issues async host copies
+        # for every leaf before blocking, so the transfers overlap.  Fetching
+        # per-image per-field serialized 4 x batch round trips (~30 ms RTT
+        # each through the tunnel — it dominated batched-det wall time).
+        import jax
+
+        all_stats = jax.device_get(all_stats)
         for batch_index in range(prob.shape[0]):
             stats = all_stats[batch_index]
             labels = np.asarray(stats["labels"])
