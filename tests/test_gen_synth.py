@@ -1,0 +1,78 @@
+"""QUALITY.md benchmark generators: seeded -> byte-reproducible, labels
+well-formed.  Guards the repro commands in QUALITY.md (same seed must
+regenerate the same benchmark, or the published numbers aren't anchored)."""
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+GEN_DIR = os.path.join(REPO, "tools", "data")
+
+
+def _run_gen(script, out, n_train=3, n_eval=2, seed=7):
+    subprocess.run(
+        [
+            sys.executable, os.path.join(GEN_DIR, script),
+            "--out", str(out), "--train", str(n_train), "--eval", str(n_eval),
+            "--seed", str(seed),
+        ],
+        cwd=GEN_DIR, check=True, capture_output=True, text=True, timeout=300,
+    )
+
+
+def _tree_digest(root):
+    h = hashlib.sha256()
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for name in sorted(filenames):
+            p = os.path.join(dirpath, name)
+            h.update(os.path.relpath(p, root).encode())
+            with open(p, "rb") as f:
+                data = f.read()
+            # label files embed absolute paths; normalize before hashing
+            if name.endswith(".txt"):
+                data = data.replace(str(root).encode(), b"ROOT")
+            h.update(hashlib.sha256(data).digest())
+    return h.hexdigest()
+
+
+def _check_generator(script, tmp_path, label_checker):
+    a, b = tmp_path / "a", tmp_path / "b"
+    _run_gen(script, a)
+    _run_gen(script, b)
+    da, db = _tree_digest(a), _tree_digest(b)
+    assert da == db, "%s is not deterministic for a fixed seed" % script
+    train_label = os.path.join(a, "train_label.txt")
+    with open(train_label) as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    assert len(lines) == 3
+    for line in lines:
+        path, label = line.split("\t", 1)
+        assert os.path.exists(path), path
+        label_checker(label)
+
+
+def test_gen_synth_det_deterministic(tmp_path):
+    def check(label):
+        boxes = json.loads(label)
+        assert boxes and all(len(b["points"]) == 4 for b in boxes)
+        assert all("transcription" in b for b in boxes)
+
+    _check_generator("gen_synth_det.py", tmp_path, check)
+
+
+def test_gen_synth_rec_deterministic(tmp_path):
+    def check(label):
+        assert label and all(c.isalnum() for c in label)
+
+    _check_generator("gen_synth_rec.py", tmp_path, check)
+
+
+def test_gen_synth_cls_deterministic(tmp_path):
+    def check(label):
+        assert label in ("0", "180")
+
+    _check_generator("gen_synth_cls.py", tmp_path, check)
