@@ -10,6 +10,7 @@ field and the [thresh_min, thresh_max] scaling match the reference.
 import cv2
 import numpy as np
 
+from pytorchocr_tpu import native
 from pytorchocr_tpu.utils import geometry
 
 __all__ = ["MakeBorderMap"]
@@ -31,10 +32,25 @@ class MakeBorderMap:
         canvas = np.zeros(img.shape[:2], dtype=np.float32)
         mask = np.zeros(img.shape[:2], dtype=np.float32)
 
-        for i in range(len(text_polys)):
-            if ignore_tags[i]:
-                continue
-            self.draw_border_map(text_polys[i], canvas, mask=mask)
+        if native.native_available() and len(text_polys):
+            # one C call per distinct point count (polys may be ragged) —
+            # this is the det-GT host hot spot (~53 ms/sample in numpy vs
+            # ~1 ms native at 640x640)
+            by_npts = {}
+            for poly, ig in zip(text_polys, ignore_tags):
+                poly = np.asarray(poly, dtype=np.float32)
+                by_npts.setdefault(len(poly), ([], []))
+                by_npts[len(poly)][0].append(poly)
+                by_npts[len(poly)][1].append(bool(ig))
+            for polys, igs in by_npts.values():
+                native.make_border_map(
+                    np.stack(polys), igs, self.shrink_ratio, canvas, mask
+                )
+        else:
+            for i in range(len(text_polys)):
+                if ignore_tags[i]:
+                    continue
+                self.draw_border_map(text_polys[i], canvas, mask=mask)
         canvas = canvas * (self.thresh_max - self.thresh_min) + self.thresh_min
 
         data["threshold_map"] = canvas

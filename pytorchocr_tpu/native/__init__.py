@@ -20,8 +20,13 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # some toolchains reject -march=native (e.g. cross/qemu hosts)
+        cmd.remove("-march=native")
+        subprocess.run(cmd, check=True, capture_output=True)
 
 
 def _load():
@@ -56,6 +61,19 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.iou_matrix.restype = None
+    lib.border_distance_field.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.border_distance_field.restype = None
+    lib.make_border_map.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_double,
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.make_border_map.restype = None
     _lib = lib
     return lib
 
@@ -105,3 +123,40 @@ def iou_matrix(gt_polys, det_polys):
         _fptr(g), len(g), g.shape[1], _fptr(d), len(d), d.shape[1], _fptr(out)
     )
     return out
+
+
+def border_distance_field(poly, distance, height, width):
+    """Min-over-edges law-of-cosines distance field over an (height, width)
+    ROI grid (the MakeBorderMap hot loop).  poly (N, 2) in ROI coords.
+    Returns (dist_norm clipped to [0,1], absolute min distance), float32."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native geometry unavailable")
+    p = np.ascontiguousarray(poly, dtype=np.float32)
+    dist_norm = np.empty((height, width), np.float32)
+    absdist = np.empty((height, width), np.float32)
+    lib.border_distance_field(
+        _fptr(p), len(p), float(distance), height, width,
+        _fptr(dist_norm), _fptr(absdist),
+    )
+    return dist_norm, absdist
+
+
+def make_border_map(polys, ignore_tags, shrink_ratio, canvas, mask):
+    """Whole-sample MakeBorderMap inner loop: fmax the normalized inverse
+    distance field of every non-ignored polygon into `canvas` (values in
+    [0,1]) and set `mask` over the dilated band.  polys (N, P, 2);
+    canvas/mask float32 (H, W), updated in place."""
+    lib = _load()
+    if not lib:
+        raise RuntimeError("native geometry unavailable")
+    p = np.ascontiguousarray(polys, dtype=np.float32)
+    ig = np.ascontiguousarray(ignore_tags, dtype=np.uint8)
+    assert canvas.dtype == np.float32 and canvas.flags.c_contiguous
+    assert mask.dtype == np.float32 and mask.flags.c_contiguous
+    h, w = canvas.shape
+    lib.make_border_map(
+        _fptr(p), len(p), p.shape[1] if len(p) else 0,
+        ig.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        float(shrink_ratio), h, w, _fptr(canvas), _fptr(mask),
+    )

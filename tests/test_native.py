@@ -44,6 +44,43 @@ def test_intersection_area_matches_numpy():
         assert abs(got - want) < 1e-2
 
 
+def test_make_border_map_native_matches_numpy():
+    """Native whole-sample MakeBorderMap == the numpy per-polygon path,
+    including ragged polygon lists and ignore tags."""
+    from pytorchocr_tpu.data.imaug.make_border_map import MakeBorderMap
+
+    rng = np.random.RandomState(7)
+    op = MakeBorderMap(shrink_ratio=0.4)
+    for trial in range(5):
+        h, w = 160, 224
+        polys = []
+        for _ in range(rng.randint(1, 5)):
+            cx, cy = rng.rand(2) * [w, h]
+            n = rng.choice([4, 6])  # ragged mix of quads and hexagons
+            ang = np.sort(rng.rand(n)) * 2 * np.pi
+            r = 10 + rng.rand(n) * 30
+            polys.append(
+                np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], 1).astype(
+                    np.float32
+                )
+            )
+        ignore = [bool(rng.rand() < 0.3) for _ in polys]
+        img = np.zeros((h, w, 3), np.uint8)
+
+        got = op({"image": img, "polys": polys, "ignore_tags": ignore})
+        want_canvas = np.zeros((h, w), np.float32)
+        want_mask = np.zeros((h, w), np.float32)
+        for p, ig in zip(polys, ignore):
+            if not ig:
+                op.draw_border_map(p, want_canvas, mask=want_mask)
+        want_canvas = want_canvas * (op.thresh_max - op.thresh_min) + op.thresh_min
+
+        np.testing.assert_array_equal(got["threshold_mask"], want_mask)
+        np.testing.assert_allclose(
+            got["threshold_map"], want_canvas, rtol=0, atol=2e-5
+        )
+
+
 def test_iou_matrix_in_evaluator():
     from pytorchocr_tpu.metrics.eval_det_iou import DetectionIoUEvaluator
 
