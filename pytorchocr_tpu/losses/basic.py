@@ -12,6 +12,20 @@ import jax.numpy as jnp
 EPS = 1e-6
 
 
+def _safe_norm(x, axis):
+    """L2 norm whose gradient is 0 (not NaN) at x == 0.
+
+    d/dx ||x|| = x/||x|| is 0/0 at the origin, and masking the RESULT with
+    jnp.where does not stop the NaN cotangent from propagating (the where-
+    gradient trap).  The embedding loss hits exact zeros structurally: the
+    i==j diagonal of the pairwise center distances, and the all-zero mean
+    rows of empty instance buckets.  Double-where keeps the primal exact
+    and the cotangent finite."""
+    sq = jnp.sum(x * x, axis=axis)
+    pos = sq > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+
+
 def bce(pred, gt):
     """Elementwise binary cross entropy on probabilities.
 
@@ -217,7 +231,7 @@ def emb_loss_single(emb, instance, kernel, training_mask, max_instances=64,
 
     # l_agg: pull pixels towards their instance center
     centers_per_pixel = emb_mean[instance]  # (HW, D)
-    dist = jnp.linalg.norm(emb.T - centers_per_pixel, axis=1)
+    dist = _safe_norm(emb.T - centers_per_pixel, axis=1)
     hinge = jnp.log(jax.nn.relu(dist - delta_v) ** 2 + 1.0)
     sums_h = jax.ops.segment_sum(hinge, instance, num_segments=max_instances)
     counts_i = jax.ops.segment_sum(
@@ -230,7 +244,7 @@ def emb_loss_single(emb, instance, kernel, training_mask, max_instances=64,
 
     # l_dis: push cluster centers apart (and, in v2, away from background)
     diff = emb_mean[:, None, :] - emb_mean[None, :, :]
-    cdist = jnp.linalg.norm(diff, axis=-1)
+    cdist = _safe_norm(diff, axis=-1)
     pair_valid = (
         fg_valid[:, None]
         & fg_valid[None, :]
@@ -247,7 +261,7 @@ def emb_loss_single(emb, instance, kernel, training_mask, max_instances=64,
         is_bg = (instance == 0).astype(jnp.float32)
         n_bg = jnp.sum(is_bg)
         # deterministic "sample": weight background pixels by bg_sample/n_bg
-        bg_dist = jnp.linalg.norm(
+        bg_dist = _safe_norm(
             emb.T[None, :, :] - emb_mean[:, None, :], axis=-1
         )  # (I, HW)
         bg_push = jnp.log(jax.nn.relu(2 * delta_d - bg_dist) ** 2 + 1.0)
@@ -261,7 +275,7 @@ def emb_loss_single(emb, instance, kernel, training_mask, max_instances=64,
 
     l_reg = (
         jnp.sum(
-            jnp.where(valid, jnp.log(jnp.linalg.norm(emb_mean, axis=1) + 1.0), 0.0)
+            jnp.where(valid, jnp.log(_safe_norm(emb_mean, axis=1) + 1.0), 0.0)
         )
         / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
         * 0.001

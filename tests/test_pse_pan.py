@@ -228,3 +228,51 @@ def test_pan_postprocess_device_matches_host():
         np.sort(np.asarray(rh[0]["points"][0]), axis=0),
         atol=2,
     )
+
+
+def test_pan_loss_gradients_finite():
+    """The first PAN backward used to NaN: jnp.linalg.norm's gradient is
+    0/0 at the structurally-exact zeros of the embedding loss (the i==j
+    diagonal of pairwise center distances, empty instance-bucket means),
+    and masking the result with jnp.where does not stop the NaN cotangent.
+    Regression for the _safe_norm double-where fix in losses/basic.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchocr_tpu.losses import build_loss
+
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 32, 32
+    gt_instance = np.zeros((n, h * 4, w * 4), np.int32)
+    gt_instance[:, 10:40, 10:60] = 1
+    gt_instance[:, 60:90, 10:60] = 2
+    batch = (
+        None,
+        jnp.asarray((gt_instance > 0).astype(np.float32)),
+        jnp.asarray((gt_instance > 0).astype(np.float32)),
+        jnp.asarray(gt_instance),
+        jnp.asarray(np.ones((n, h * 4, w * 4), np.float32)),
+    )
+    loss = build_loss({"name": "PANLoss", "alpha": 1.0, "beta": 0.5,
+                       "gamma": 0.25, "feature_dim": 4, "mode": "v2",
+                       "ohem_ratio": 3, "kernel_sample_mask": "pred",
+                       "reduction": "mean"})
+
+    def scalar_loss(maps):
+        return loss({"maps": maps}, batch)["loss"]
+
+    maps = jnp.asarray(rng.randn(n, h, w, 6).astype(np.float32))
+    g = jax.grad(scalar_loss)(maps)
+    assert bool(jnp.all(jnp.isfinite(g))), "PAN loss gradient has NaN/inf"
+
+    # also the v1 mode and the degenerate no-instance sample
+    loss_v1 = build_loss({"name": "PANLoss", "alpha": 1.0, "beta": 0.5,
+                          "gamma": 0.25, "feature_dim": 4, "mode": "v1",
+                          "ohem_ratio": 3, "kernel_sample_mask": "pred",
+                          "reduction": "mean"})
+    empty = tuple(
+        None if b is None else jnp.zeros_like(b) if i >= 3 else b
+        for i, b in enumerate(batch)
+    )
+    g1 = jax.grad(lambda m: loss_v1({"maps": m}, empty)["loss"])(maps)
+    assert bool(jnp.all(jnp.isfinite(g1)))
