@@ -160,6 +160,42 @@ def load_backbone_pretrained(state, arch_config, logger=None):
     return state.replace(params=params, batch_stats=stats)
 
 
+def load_submodel_pretrained(state, arch_config, logger=None):
+    """Per-submodel `pretrained` checkpoints of a DistillationModel
+    (reference distillation_model.py:13-45 `load_pretrained_params` per
+    sub-model): Architecture.Models.<Name>.pretrained points at a saved
+    single-model checkpoint dir (e.g. the Teacher's best_accuracy), whose
+    params/batch_stats are grafted onto params['models_<i>'] — submodels
+    are ordered as declared in the config, matching flax's auto-naming of
+    the models tuple in DistillationModel."""
+    logger = logger or get_logger()
+    if "Models" not in arch_config:
+        return state
+    params = None
+    stats = None
+    for i, key in enumerate(arch_config["Models"]):
+        path = arch_config["Models"][key].get("pretrained")
+        if not path:
+            continue
+        path = os.path.abspath(path)
+        assert os.path.exists(path), (
+            "Models.%s.pretrained does not exist: %s" % (key, path)
+        )
+        if params is None:
+            params = jax.device_get(state.params)
+            stats = jax.device_get(state.batch_stats)
+        sub = "models_%d" % i
+        assert sub in params, "no %s in distillation params" % sub
+        restored = _restore_pytree(path)
+        params[sub] = _merge_trees(params[sub], restored.get("params", restored))
+        if restored.get("batch_stats") and isinstance(stats, dict):
+            stats[sub] = _merge_trees(stats.get(sub, {}), restored["batch_stats"])
+        logger.info("load %s pretrained from %s", key, path)
+    if params is not None:
+        state = state.replace(params=params, batch_stats=stats)
+    return state
+
+
 def load_pretrained_params(state, path, logger=None):
     logger = logger or get_logger()
     path = os.path.abspath(path)

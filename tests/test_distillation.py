@@ -172,3 +172,55 @@ def test_rec_dml_losses():
     )
     out = dist(preds, batch)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_submodel_pretrained_loading(tmp_path):
+    """Architecture.Models.<Name>.pretrained must graft a saved standalone
+    checkpoint onto that submodel's params (the CML teacher init —
+    reference distillation_model.py:30-38); other submodels keep their
+    fresh init."""
+    from pytorchocr_tpu.utils.save_load import (
+        _save_pytree,
+        load_submodel_pretrained,
+    )
+
+    arch = _arch()
+    # a standalone model identical to the Teacher branch
+    solo_cfg = {k: v for k, v in arch["Models"]["Teacher"].items()
+                if k not in ("pretrained", "freeze_params", "return_all_feats")}
+    solo = build_model(solo_cfg)
+    batch = _det_batch(n=2, hw=64)
+    rng = jax.random.PRNGKey(7)
+    variables = solo.init(rng, jnp.asarray(batch[0]), data=None, train=True)
+    ckpt_dir = str(tmp_path / "teacher_ckpt")
+    _save_pytree(ckpt_dir, {"params": variables["params"],
+                            "batch_stats": variables.get("batch_stats", {})})
+
+    arch["Models"]["Teacher"]["pretrained"] = ckpt_dir
+    model = build_model(arch)
+    tx, _ = build_optimizer(
+        {"base_lr": 0.001, "optim": {"name": "Adam"},
+         "lr_decay": {"name": "WarmupPolyLR", "warmup_epoch": 1, "power": 0.9}},
+        epochs=1, step_each_epoch=1)
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    before_student = jax.device_get(state.params["models_1"])
+    state = load_submodel_pretrained(state, arch)
+
+    loaded = jax.device_get(state.params["models_0"])
+    want = jax.device_get(variables["params"])
+    # the frozen teacher inits in eval mode, so its tree is a SUBSET of the
+    # standalone checkpoint (DBHead's train-only threshold tower is absent);
+    # every teacher leaf must match the checkpoint exactly
+    flat_l = jax.tree_util.tree_leaves_with_path(loaded)
+    flat_w = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(want)}
+    assert flat_l and len(flat_l) <= len(flat_w)
+    for k, v in flat_l:
+        np.testing.assert_array_equal(v, flat_w[jax.tree_util.keystr(k)])
+    # students untouched
+    after_student = jax.device_get(state.params["models_1"])
+    for (ka, a), (kb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(before_student),
+        jax.tree_util.tree_leaves_with_path(after_student),
+    ):
+        np.testing.assert_array_equal(a, b)

@@ -22,7 +22,11 @@ from pytorchocr_tpu.optimizer import build_optimizer
 from pytorchocr_tpu.parallel.mesh import create_mesh
 from pytorchocr_tpu.postprocess import build_post_process
 from pytorchocr_tpu.trainer import create_train_state
-from pytorchocr_tpu.utils.save_load import load_backbone_pretrained, load_model
+from pytorchocr_tpu.utils.save_load import (
+    load_backbone_pretrained,
+    load_model,
+    load_submodel_pretrained,
+)
 import program
 
 
@@ -77,8 +81,10 @@ def main(config, rng, logger, tsb_writer):
     example_batch = next(iter(train_dataloader))
     state = create_train_state(model, tx, rng, example_batch)
 
-    # ImageNet backbone init first, then resume/finetune checkpoints on top
+    # ImageNet backbone init first, then per-submodel (teacher) checkpoints,
+    # then resume/finetune checkpoints on top
     state = load_backbone_pretrained(state, config["Architecture"], logger)
+    state = load_submodel_pretrained(state, config["Architecture"], logger)
     state, global_state = load_model(config, state, logger)
 
     logger.info("train dataloader has {} iters".format(len(train_dataloader)))
