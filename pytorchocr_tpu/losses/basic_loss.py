@@ -1,6 +1,7 @@
 """KL/JS divergence, deep-mutual-learning and distance losses
 (reference pytocr/losses/basic_loss.py:9-86)."""
 
+import jax
 import jax.numpy as jnp
 
 
@@ -42,8 +43,8 @@ class DMLLoss:
             out2 = jnp.exp(out2 - jnp.max(out2, -1, keepdims=True))
             out2 = out2 / jnp.sum(out2, -1, keepdims=True)
         elif self.act == "sigmoid":
-            out1 = 1.0 / (1.0 + jnp.exp(-out1))
-            out2 = 1.0 / (1.0 + jnp.exp(-out2))
+            out1 = jax.nn.sigmoid(out1)
+            out2 = jax.nn.sigmoid(out2)
         if self.use_log:
             # torch kl_div(log_p, q, 'batchmean') = sum(q*(log q - log_p))/N
             batch = out1.shape[0]

@@ -1,6 +1,7 @@
 """PAN/PAN++ loss (reference pytocr/losses/det_pan_loss.py:8-80):
 alpha*text + beta*kernel + gamma*emb (1.0/0.5/0.25)."""
 
+import jax
 import jax.numpy as jnp
 
 from ..modeling.common import resize_nearest
@@ -8,7 +9,11 @@ from . import basic
 
 
 def _sigmoid(x):
-    return 1.0 / (1.0 + jnp.exp(-x))
+    # jax.nn.sigmoid, NOT 1/(1+exp(-x)): the manual form's backward computes
+    # (-1/v^2) * (-exp(-x)) which is 0*inf = NaN once exp(-x) overflows
+    # (|x| > ~88.7 in f32/bf16).  Dice loss drives logits past that range
+    # late in training; jax.nn.sigmoid's custom JVP (s*(1-s)) stays finite.
+    return jax.nn.sigmoid(x)
 
 
 class PANLoss:

@@ -1,9 +1,12 @@
 """PSE loss (reference pytocr/losses/det_pse_loss.py:8-72).
 
 Preds are NHWC logits at 1/4 resolution, upsampled x4 (nearest) before the
-loss; dice losses apply sigmoid (act=True in the reference).
+loss; dice losses apply sigmoid (act=True in the reference).  Sigmoids use
+jax.nn.sigmoid, whose custom JVP stays finite when exp(-x) would overflow
+(manual 1/(1+exp(-x)) yields 0*inf=NaN gradients past |x|~88.7).
 """
 
+import jax
 import jax.numpy as jnp
 
 from ..modeling.common import resize_nearest
@@ -37,7 +40,7 @@ class PSELoss:
             texts, gt_texts, training_masks, self.ohem_ratio
         )
         loss_text = basic.dice_loss_per_sample(
-            jnp.asarray(jnp.float32(1.0)) / (1.0 + jnp.exp(-texts)), gt_texts, selected_masks
+            jax.nn.sigmoid(texts), gt_texts, selected_masks
         )
         iou_text = basic.iou_binary(
             (texts > 0).astype(jnp.int32), gt_texts, training_masks, reduce=False
@@ -47,14 +50,12 @@ class PSELoss:
         if self.kernel_sample_mask == "gt":
             kernel_masks = gt_texts * training_masks
         else:  # "pred"
-            kernel_masks = (
-                jnp.asarray(1.0) / (1.0 + jnp.exp(-texts)) > 0.5
-            ).astype(jnp.float32) * training_masks
+            kernel_masks = (jax.nn.sigmoid(texts) > 0.5).astype(jnp.float32) * training_masks
 
         loss_kernel_list = []
         num_k = kernels.shape[-1]
         for i in range(num_k):
-            kernel_i = jnp.asarray(1.0) / (1.0 + jnp.exp(-kernels[..., i]))
+            kernel_i = jax.nn.sigmoid(kernels[..., i])
             gt_kernel_i = gt_kernels[:, i]
             loss_kernel_list.append(
                 basic.dice_loss_per_sample(kernel_i, gt_kernel_i, kernel_masks)

@@ -8,6 +8,7 @@ threshold maps; train-time differentiable binarization
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -87,6 +88,6 @@ class DBHead(nn.Module):
         threshold_maps = _Tower(self.in_channels, dtype=self.dtype, name="thresh")(
             x, train
         )
-        binary_maps = 1.0 / (1.0 + jnp.exp(-self.k * (shrink_maps - threshold_maps)))
+        binary_maps = jax.nn.sigmoid(self.k * (shrink_maps - threshold_maps))
         y = jnp.concatenate([shrink_maps, threshold_maps, binary_maps], axis=-1)
         return {"maps": y}

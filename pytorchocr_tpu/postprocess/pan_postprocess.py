@@ -6,6 +6,7 @@ uses the propagation op with embedding gate
 """
 
 import cv2
+import jax
 import numpy as np
 
 from pytorchocr_tpu.ops.propagate import pa_np
@@ -46,7 +47,7 @@ class PANPostProcess:
             from pytorchocr_tpu.modeling.common import resize_nearest
             pred = resize_nearest(pred, r)
 
-        score = 1.0 / (1.0 + jnp.exp(-pred[..., 0]))
+        score = jax.nn.sigmoid(pred[..., 0])
         kernels = (pred[..., :2] > self.thresh).astype(jnp.float32)
         text_mask = kernels[..., 0:1]
         kernels = kernels.at[..., 1:2].set(kernels[..., 1:2] * text_mask)

@@ -6,6 +6,7 @@ on device (jnp); the scale expansion uses the propagation op
 """
 
 import cv2
+import jax
 import numpy as np
 
 from pytorchocr_tpu.ops.propagate import pse_np
@@ -44,7 +45,7 @@ class PSEPostProcess:
             from pytorchocr_tpu.modeling.common import resize_nearest
             pred = resize_nearest(pred, r)
 
-        score = 1.0 / (1.0 + jnp.exp(-pred[..., 0]))
+        score = jax.nn.sigmoid(pred[..., 0])
         kernels = (pred > self.thresh).astype(jnp.float32)
         text_mask = kernels[..., 0:1]
         kernels = kernels * text_mask

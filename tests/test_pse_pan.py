@@ -276,3 +276,57 @@ def test_pan_loss_gradients_finite():
     )
     g1 = jax.grad(lambda m: loss_v1({"maps": m}, empty)["loss"])(maps)
     assert bool(jnp.all(jnp.isfinite(g1)))
+
+
+def test_extreme_logit_gradients_finite():
+    """Regression for the manual-sigmoid overflow NaN that killed long PAN
+    runs: 1/(1+exp(-x)) backward computes (-1/v^2)*(-exp(-x)) = 0*inf = NaN
+    once exp(-x) overflows (|x| > ~88.7 in f32 AND bf16).  Dice loss has no
+    saturation penalty, so logits legitimately drift past 100 late in
+    training (observed absmax 142.9 at NaN onset, epoch ~44 of the synth
+    quality run).  All loss sigmoids must use jax.nn.sigmoid, whose custom
+    JVP (s*(1-s)) stays finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorchocr_tpu.losses import build_loss
+    from pytorchocr_tpu.losses.basic_loss import DMLLoss
+
+    rng = np.random.RandomState(0)
+    n, h, w = 2, 16, 16
+    gt_instance = np.zeros((n, h * 4, w * 4), np.int32)
+    gt_instance[:, 10:30, 10:50] = 1
+    gt_texts = jnp.asarray((gt_instance > 0).astype(np.float32))
+    masks = jnp.asarray(np.ones((n, h * 4, w * 4), np.float32))
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        # logits saturated far past the exp-overflow threshold
+        base = rng.randn(n, h, w, 7).astype(np.float32) * 150.0
+
+        pan = build_loss({"name": "PANLoss", "mode": "v2"})
+        pan_batch = (None, gt_texts, gt_texts, jnp.asarray(gt_instance), masks)
+        g = jax.grad(
+            lambda m: jnp.float32(pan({"maps": m}, pan_batch)["loss"])
+        )(jnp.asarray(base[..., :6], dtype))
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(g, jnp.float32)))), (
+            f"PAN grad NaN at extreme logits ({dtype.__name__})"
+        )
+
+        pse = build_loss({"name": "PSELoss", "alpha": 0.7})
+        gt_kernels = jnp.asarray(
+            np.repeat((gt_instance > 0).astype(np.float32)[:, None], 6, axis=1)
+        )
+        pse_batch = (None, gt_texts, gt_kernels, masks)
+        g = jax.grad(
+            lambda m: jnp.float32(pse({"maps": m}, pse_batch)["loss"])
+        )(jnp.asarray(base, dtype))
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(g, jnp.float32)))), (
+            f"PSE grad NaN at extreme logits ({dtype.__name__})"
+        )
+
+    # DML det-map branch (sigmoid act) at extreme logits
+    dml = DMLLoss(act="sigmoid")
+    x = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32) * 150.0)
+    y = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32) * 150.0)
+    gx = jax.grad(lambda a: dml(a, y))(x)
+    assert bool(jnp.all(jnp.isfinite(gx))), "DML grad NaN at extreme logits"
