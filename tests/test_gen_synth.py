@@ -33,7 +33,7 @@ def _tree_digest(root):
             with open(p, "rb") as f:
                 data = f.read()
             # label files embed absolute paths; normalize before hashing
-            if name.endswith(".txt"):
+            if name.endswith((".txt", ".jsonl")):
                 data = data.replace(str(root).encode(), b"ROOT")
             h.update(hashlib.sha256(data).digest())
     return h.hexdigest()
@@ -76,3 +76,32 @@ def test_gen_synth_cls_deterministic(tmp_path):
         assert label in ("0", "180")
 
     _check_generator("gen_synth_cls.py", tmp_path, check)
+
+
+def test_gen_synth_table_deterministic(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    _run_gen("gen_synth_table.py", a)
+    _run_gen("gen_synth_table.py", b)
+    assert _tree_digest(a) == _tree_digest(b), (
+        "gen_synth_table.py is not deterministic for a fixed seed"
+    )
+    with open(os.path.join(a, "train_label.jsonl")) as f:
+        lines = [l for l in f if l.strip()]
+    assert len(lines) == 3
+    td_tokens = {"<td>", "<td"}
+    for line in lines:
+        rec = json.loads(line)
+        assert os.path.exists(rec["img_path"])
+        cells = rec["html"]["cells"]
+        structure = rec["html"]["structure"]["tokens"]
+        # one cell record per td open token, in order (PubTabNet invariant
+        # TableLabelEncode relies on, label_ops.py TableLabelEncode.__call__)
+        n_td = sum(1 for t in structure if t in td_tokens)
+        assert n_td == len(cells)
+        for c in cells:
+            if c["tokens"]:
+                assert len(c["bbox"]) == 8  # xyxyxyxy, loc_reg_num=8
+            else:
+                assert "bbox" not in c
+        # structure tokens must all be encodable by the shipped dict
+        assert "<thead>" == structure[0] and structure[-1] == "</tbody>"
