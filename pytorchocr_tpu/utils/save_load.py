@@ -100,6 +100,57 @@ def load_model(config, state, logger=None):
     return state, global_state
 
 
+_GATES_I = ("ii", "if", "ig", "io")  # input-projection gate kernels (no bias)
+_GATES_H = ("hi", "hf", "hg", "ho")  # hidden-projection gate kernels + biases
+
+
+def _is_old_lstm_cell(node):
+    return (
+        isinstance(node, dict)
+        and all(g in node for g in _GATES_I + _GATES_H)
+        and all("kernel" in node[g] for g in _GATES_I + _GATES_H)
+    )
+
+
+def migrate_fused_bilstm(tree):
+    """Map pre-fusion BiLSTM checkpoints onto the fused layout.
+
+    Checkpoints saved before the fused direction-batched BiLSTM rewrite
+    (necks/rnn.py) stored each direction as a flax ``nn.RNN(OptimizedLSTMCell)``
+    — param children ``OptimizedLSTMCell_0`` (fwd) / ``OptimizedLSTMCell_1``
+    (bwd), each with per-gate Dense trees ``ii/if/ig/io`` (kernels) and
+    ``hi/hf/hg/ho`` (kernels + biases).  The fused module stores stacked
+    ``wi (2, C, 4H)`` / ``wh (2, H, 4H)`` / ``b (2, 4H)`` in flax's i,f,g,o
+    gate order.  This walks a restored params tree and rewrites every such
+    node in place, so old pretrained/finetune checkpoints keep loading.
+    """
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    cells = ("OptimizedLSTMCell_0", "OptimizedLSTMCell_1")
+    if all(c in tree and _is_old_lstm_cell(tree[c]) for c in cells):
+        wi, wh, b = [], [], []
+        for c in cells:
+            cell = tree[c]
+            wi.append(np.concatenate(
+                [np.asarray(cell[g]["kernel"]) for g in _GATES_I], axis=-1))
+            wh.append(np.concatenate(
+                [np.asarray(cell[g]["kernel"]) for g in _GATES_H], axis=-1))
+            b.append(np.concatenate(
+                [np.asarray(cell[g]["bias"]) for g in _GATES_H], axis=-1))
+        out["wi"] = np.stack(wi)
+        out["wh"] = np.stack(wh)
+        out["b"] = np.stack(b)
+        get_logger().info("migrated pre-fusion BiLSTM params -> wi/wh/b")
+        for k, v in tree.items():
+            if k not in cells:
+                out[k] = migrate_fused_bilstm(v)
+        return out
+    for k, v in tree.items():
+        out[k] = migrate_fused_bilstm(v)
+    return out
+
+
 def _merge_trees(target, source, path=""):
     """Copy matching-by-name leaves from source into target (partial load
     with `module.`-style reconciliation replaced by tree paths)."""
@@ -187,7 +238,8 @@ def load_submodel_pretrained(state, arch_config, logger=None):
         sub = "models_%d" % i
         assert sub in params, "no %s in distillation params" % sub
         restored = _restore_pytree(path)
-        params[sub] = _merge_trees(params[sub], restored.get("params", restored))
+        params[sub] = _merge_trees(
+            params[sub], migrate_fused_bilstm(restored.get("params", restored)))
         if restored.get("batch_stats") and isinstance(stats, dict):
             stats[sub] = _merge_trees(stats.get(sub, {}), restored["batch_stats"])
         logger.info("load %s pretrained from %s", key, path)
@@ -201,7 +253,7 @@ def load_pretrained_params(state, path, logger=None):
     path = os.path.abspath(path)
     assert os.path.exists(path), "The {} does not exist!".format(path)
     restored = _restore_pytree(path)
-    src_params = restored.get("params", restored)
+    src_params = migrate_fused_bilstm(restored.get("params", restored))
     new_params = _merge_trees(jax.device_get(state.params), src_params)
     new_state = state.replace(params=new_params)
     if "batch_stats" in restored and state.batch_stats:

@@ -163,3 +163,53 @@ def test_fused_bilstm_matches_reference_lstm():
     bwd = run_lstm(x[:, ::-1], p["wi"][1], p["wh"][1], p["b"][1])[:, ::-1]
     want = np.concatenate([fwd, bwd], axis=-1)
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_bilstm_checkpoint_migration_prefusion_layout():
+    """Checkpoints saved by the pre-fusion BiLSTM (nn.RNN over
+    OptimizedLSTMCell per direction) restore onto the fused wi/wh/b layout
+    through save_load.migrate_fused_bilstm with numerically identical
+    outputs (ADVICE round-1: silent restore break on the param rename)."""
+    import jax
+    import flax.linen as nn
+
+    from pytorchocr_tpu.modeling.necks.rnn import BiLSTM
+    from pytorchocr_tpu.utils.save_load import migrate_fused_bilstm
+
+    N, T, C, H = 2, 6, 5, 4
+
+    class OldBiLSTM(nn.Module):
+        hidden_size: int = H
+
+        @nn.compact
+        def __call__(self, x):
+            fwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size, param_dtype=jnp.float32),
+                name="fwd",
+            )
+            bwd = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_size, param_dtype=jnp.float32),
+                reverse=True,
+                keep_order=True,
+                name="bwd",
+            )
+            return jnp.concatenate([fwd(x), bwd(x)], axis=-1)
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(N, T, C).astype(np.float32))
+    old = OldBiLSTM()
+    old_vars = old.init(jax.random.PRNGKey(3), x)
+    want = np.asarray(old.apply(old_vars, x))
+
+    # nest the old cells one level down to prove the walk recurses like a
+    # real checkpoint tree (neck/encoder/lstm0/...)
+    old_tree = {"neck": {"lstm0": jax.tree.map(np.asarray, old_vars["params"])}}
+    migrated = migrate_fused_bilstm(old_tree)
+    p = migrated["neck"]["lstm0"]
+    assert set(p.keys()) == {"wi", "wh", "b"}
+    assert p["wi"].shape == (2, C, 4 * H)
+    assert p["wh"].shape == (2, H, 4 * H)
+    assert p["b"].shape == (2, 4 * H)
+
+    got = np.asarray(BiLSTM(hidden_size=H).apply({"params": p}, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

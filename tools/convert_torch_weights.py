@@ -89,6 +89,15 @@ def apply_mapping(params, batch_stats, state_dict, mapping, logger=print):
 def convert_resnet(pth_path, layers, out_dir):
     import torch
     import jax
+
+    # honor the same platform override as tools/program.py:preprocess —
+    # weight conversion is pure layout work, it must never queue behind a
+    # busy TPU tunnel (and JAX_PLATFORMS alone is not honored once the
+    # axon PJRT plugin is registered)
+    platform = os.environ.get("OCR_TPU_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
     import jax.numpy as jnp
 
     from pytorchocr_tpu.modeling.backbones.det_resnet import ResNet
