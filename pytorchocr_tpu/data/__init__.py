@@ -62,5 +62,8 @@ def build_dataloader(config, mode, logger, seed=None):
         seed=seed,
         shard_index=shard_index,
         num_shards=num_shards,
+        # "process" = torch DataLoader-style fork workers for GT-maker-heavy
+        # det pipelines whose Python cost serializes on the GIL.
+        worker_mode=loader_config.get("worker_mode", "thread"),
     )
     return data_loader, data_loader  # (loader, "sampler") — set_epoch lives on the loader

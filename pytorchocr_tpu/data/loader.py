@@ -1,12 +1,21 @@
 """TPU-first torch-free data loader.
 
 Replaces torch DataLoader + DistributedSampler (reference
-pytocr/data/__init__.py:11-57) with a thread-pool loader designed for the
+pytocr/data/__init__.py:11-57) with a worker-pool loader designed for the
 TPU training loop:
 
-* workers run the cv2/numpy imaug chain concurrently (cv2 releases the GIL
-  for the heavy ops), with a bounded prefetch window so host preprocessing
-  overlaps the device step;
+* workers run the cv2/numpy imaug chain concurrently, with a bounded
+  prefetch window so host preprocessing overlaps the device step.  Two
+  worker modes:
+  - ``thread`` (default): zero-copy handoff; good when the imaug chain is
+    dominated by GIL-releasing cv2/numpy kernels (rec/cls pipelines).
+  - ``process``: fork-based worker processes (the torch DataLoader
+    num_workers>0 equivalent) for GT-maker-heavy detection pipelines whose
+    Python-level cost (pure-Python polygon math, PIL ColorJitter, imgaug)
+    serializes on the GIL.  The dataset is inherited by fork — never
+    pickled — and each batch task reseeds ``random``/``np.random`` from
+    (seed, epoch, batch) so augmentations are both diverse across workers
+    and reproducible (the thread mode's interleaving is not).
 * per-host sharding is built in (`shard_index` / `num_shards` map to
   jax.process_index/count for multi-host pods) — each host only materializes
   its shard, and the global batch is formed by jax.make_array_from_process_
@@ -15,11 +24,41 @@ TPU training loop:
   `sampler.set_epoch` contract is folded into `set_epoch` here.
 """
 
+import multiprocessing
 import queue
+import random as _pyrandom
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# Per-worker state (process mode), installed by the pool initializer at
+# worker start.  Fork is safe here because workers only run numpy/cv2/PIL —
+# they never touch JAX, so the parent's PJRT/libtpu threads (lost by fork)
+# are never needed.
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+
+
+def _proc_init(dataset, collate_fn):
+    global _WORKER_DATASET, _WORKER_COLLATE
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate_fn
+    # cv2's internal thread pool does not survive fork; pin to 1 thread in
+    # the child (same mitigation torch DataLoader documents).
+    try:
+        import cv2
+
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
+
+
+def _proc_load_batch(chunk, task_seed):
+    _pyrandom.seed(task_seed)
+    np.random.seed(task_seed % (2**32))
+    samples = [_WORKER_DATASET[int(i)] for i in chunk]
+    return _WORKER_COLLATE(samples)
 
 
 def default_collate(samples):
@@ -56,6 +95,7 @@ class OCRDataLoader:
         num_shards=1,
         collate_fn=None,
         prefetch_factor=4,
+        worker_mode="thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -67,6 +107,11 @@ class OCRDataLoader:
         self.num_shards = num_shards
         self.collate_fn = collate_fn or default_collate
         self.prefetch_factor = prefetch_factor
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be thread|process, got {worker_mode}")
+        if worker_mode == "process" and "fork" not in multiprocessing.get_all_start_methods():
+            worker_mode = "thread"  # no fork on this platform (e.g. Windows)
+        self.worker_mode = worker_mode
         self._epoch = 0
 
     def set_epoch(self, epoch):
@@ -104,22 +149,46 @@ class OCRDataLoader:
 
         out_q = queue.Queue(maxsize=self.prefetch_factor)
         stop = threading.Event()
+        use_proc = self.worker_mode == "process" and self.num_workers > 1
+        # In process mode one worker owns one whole batch, so parallelism is
+        # bounded by the in-flight window — widen it to keep all workers busy.
+        window = max(self.prefetch_factor, self.num_workers if use_proc else 0)
+        epoch = self._epoch
+
+        def submit(pool, batch_idx, chunk):
+            if use_proc:
+                task_seed = (self.seed * 1_000_003 + epoch) * 7_368_787 + batch_idx
+                return pool.submit(_proc_load_batch, chunk, task_seed & 0x7FFFFFFF)
+            return pool.submit(self._load_batch, chunk)
 
         def produce():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            if use_proc:
+                pool = ProcessPoolExecutor(
+                    max_workers=self.num_workers,
+                    mp_context=multiprocessing.get_context("fork"),
+                    initializer=_proc_init,
+                    initargs=(self.dataset, self.collate_fn),
+                )
+            else:
+                pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            try:
                 futures = []
-                for chunk in batches:
+                for batch_idx, chunk in enumerate(batches):
                     if stop.is_set():
                         break
-                    futures.append(pool.submit(self._load_batch, chunk))
+                    futures.append(submit(pool, batch_idx, chunk))
                     # drain completed futures in order, keep window bounded
-                    while len(futures) >= self.prefetch_factor:
+                    while len(futures) >= window:
                         f = futures.pop(0)
                         if self._emit(out_q, stop, f):
                             return
                 for f in futures:
                     if self._emit(out_q, stop, f):
                         return
+            finally:
+                # cancel_futures: don't force a full drain when the consumer
+                # abandoned the epoch early (KeyboardInterrupt, eval gating).
+                pool.shutdown(wait=False, cancel_futures=True)
             out_q.put(None)
 
         producer = threading.Thread(target=produce, daemon=True)
