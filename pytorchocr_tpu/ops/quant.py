@@ -359,6 +359,12 @@ def calibrate(model, variables, batches, **apply_kwargs):
     """
     apply_kwargs.setdefault("train", False)
 
+    import jax
+
+    # jit the calibration forward: eager flax apply dispatches every op
+    # separately (ruinous through a ~30ms-RTT device tunnel); one traced
+    # call also lands in the persistent compile cache.
+    @jax.jit
     def _step(vs, images):
         _, mut = model.apply(vs, images, mutable=["quant"], **apply_kwargs)
         return mut["quant"]

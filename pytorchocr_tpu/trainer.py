@@ -33,7 +33,17 @@ def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
         jnp.asarray(x) if isinstance(x, np.ndarray) or np.isscalar(x) else x
         for x in example_batch
     )
-    variables = model.init(rng, images, data=data, train=True)
+    # jit the init: eager flax init dispatches each lax op separately,
+    # which costs ~100s of per-op RTTs through the TPU tunnel; one traced
+    # call compiles once (and lands in the persistent compile cache).
+    # Falls back to eager init when the batch holds non-array leaves
+    # (jit pytrees must be arrays).
+    try:
+        variables = jax.jit(
+            lambda r, im, d: model.init(r, im, data=d, train=True)
+        )(rng, images, data)
+    except TypeError:
+        variables = model.init(rng, images, data=data, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
