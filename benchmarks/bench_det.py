@@ -39,8 +39,8 @@ def main():
     images = jnp.asarray(rng.rand(args.batch, H, W, 3).astype(np.float32)).astype(
         jnp.bfloat16
     )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
     )
     if args.mode == "int8":
         # per-conv activation scales from a small calibration batch

@@ -157,8 +157,8 @@ def main():
             rec_cfg["Architecture"]["Head"]["out_channels"] = len(rec_post.character)
         rec_model = _bm(rec_cfg["Architecture"])
         shape = (1, 32, 320, rec_cfg["Architecture"].get("in_channels", 3))
-        rec_vars = rec_model.init(jax.random.PRNGKey(0), np.zeros(shape, np.float32),
-                                  train=False)
+        rec_vars = jax.jit(lambda k, x: rec_model.init(k, x, train=False))(
+            jax.random.PRNGKey(0), np.zeros(shape, np.float32))
         rec_ckpt = os.path.join(tmp, "rec")
         save_ckpt({"params": rec_vars["params"],
                    "batch_stats": rec_vars.get("batch_stats", {})}, rec_ckpt)

@@ -51,8 +51,8 @@ def main():
     images = jnp.asarray(rng.rand(args.batch, H, W, 1).astype(np.float32)).astype(
         jnp.bfloat16
     )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, H, 64, 1)), train=False
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, 64, 1))
     )
     if args.mode == "int8":
         calib = jnp.asarray(rng.rand(4, H, W, 1).astype(np.float32))
