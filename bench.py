@@ -16,10 +16,11 @@ exceeded the driver budget and rc=124 captured nothing):
      *preliminary* JSON line immediately (flushed);
   2. the full bs128-int8 phase then prints the final JSON line.
 
-Each phase runs under its own signal.alarm watchdog (budgets overridable
-via BENCH_BUDGET_S); a hung tunnel or slow compile forfeits only that
-phase, and the last printed line stands.  The driver takes the LAST JSON
-line on stdout.
+Each phase runs in a worker thread joined with a timeout (budgets
+overridable via BENCH_BUDGET_S) — a plain signal.alarm cannot interrupt a
+futex-parked tunnel call; a hung tunnel or slow compile forfeits only
+that phase, and the last printed line stands.  The driver takes the LAST
+JSON line on stdout.
 
 The TPU here is reached through a tunnel with ~30ms per-call RTT, so the
 benchmark loops ITERS forwards ON DEVICE inside a single jit call (a
@@ -44,8 +45,8 @@ bandwidth analysis; bs16 440 -> bs128 saturates; bs192 regresses to 989).
 
 import json
 import os
-import signal
 import sys
+import threading
 
 BASELINE_TRT_FP16_FPS = 50.0
 H, W = 736, 1280
@@ -54,31 +55,42 @@ H, W = 736, 1280
 # safely under typical external timeouts so *we* decide what gets skipped.
 TOTAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "540"))
 
-
-class _PhaseTimeout(Exception):
-    pass
-
-
-def _alarm_handler(signum, frame):
-    raise _PhaseTimeout()
+_ABANDONED_PHASES = []  # phases whose worker thread is still wedged
 
 
 def _run_phase(budget_s, fn):
-    """Run fn() under a signal.alarm watchdog.  Returns (ok, result_or_exc)."""
-    old = signal.signal(signal.SIGALRM, _alarm_handler)
-    signal.alarm(max(int(budget_s), 1))
-    try:
-        return True, fn()
-    except _PhaseTimeout:
-        return False, "phase timed out after %ds" % budget_s
-    except Exception as e:  # noqa: BLE001 — benchmark must degrade, not die
-        import traceback
+    """Run fn() in a daemon worker thread bounded by budget_s seconds.
+    Returns (ok, result_or_message).
 
-        traceback.print_exc(file=sys.stderr)
-        return False, e
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    A signal.alarm watchdog cannot do this job: a hung tunnel call parks
+    the PJRT client on a futex and the interpreter never regains control
+    to run the Python-level SIGALRM handler (same limitation the train
+    loop's save-hang watchdog documents, tools/program.py).  The main
+    thread joining a worker with a timeout DOES fire regardless; an
+    expired worker is abandoned (it can never print — _emit happens on
+    the main thread after a successful join) and main() hard-exits at the
+    end so a wedged client cannot block process teardown either.
+    """
+    result = {}
+
+    def _worker():
+        try:
+            result["value"] = fn()
+            result["ok"] = True
+        except Exception as e:  # noqa: BLE001 — benchmark must degrade, not die
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            result["ok"] = False
+            result["value"] = e
+
+    worker = threading.Thread(target=_worker, daemon=True)
+    worker.start()
+    worker.join(max(int(budget_s), 1))
+    if worker.is_alive():
+        _ABANDONED_PHASES.append(fn)
+        return False, "phase timed out after %ds (worker abandoned)" % budget_s
+    return result.get("ok", False), result.get("value")
 
 
 def _emit(imgs_per_sec, mode):
@@ -183,3 +195,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+    if _ABANDONED_PHASES:
+        # a wedged tunnel thread must not block interpreter teardown — the
+        # printed JSON lines are the deliverable, exit with them intact
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)

@@ -95,6 +95,21 @@ class JitRunner:
         return self._jitted(self.variables, jnp.asarray(images))
 
 
+def padded_pow2_batch(arrays, combine=np.stack):
+    """Pad a list of per-sample arrays to the next power-of-two count by
+    repeating the first element, then combine along axis 0.  Returns
+    (batch, n_real); callers slice results back to n_real.
+
+    Power-of-two bucketing keeps arbitrary request sizes on a handful of
+    compiled graphs (a fresh batch-size compile through the TPU tunnel
+    costs ~6s) and avoids XLA's poor tiling of off-pow2 batch axes
+    (benchmarks/ROOFLINE.md).  Single source of the policy for the det /
+    cls / rec deploy stages."""
+    n = len(arrays)
+    bs = 1 << (n - 1).bit_length()
+    return combine(list(arrays) + [arrays[0]] * (bs - n), axis=0), n
+
+
 def aot_compile(fn, *example_args):
     """AOT lower+compile an executable for fixed shapes (replaces the
     reference's onnx2trt notebook flow)."""

@@ -21,7 +21,7 @@ import numpy as np
 from pytorchocr_tpu.data import create_operators, transform
 from pytorchocr_tpu.postprocess import build_post_process
 from pytorchocr_tpu.utils.utility import sort_boxes
-from common import JitRunner, build_infer_model, load_variables
+from common import JitRunner, build_infer_model, load_variables, padded_pow2_batch
 from utils import draw_det_res, load_config, show_image
 
 
@@ -128,6 +128,8 @@ class Deter:
         is batch-aware end to end, incl. the on-device CC path).  Returns a
         list of sorted box arrays, one per input image, in input order.
         """
+        if not imgs:
+            return []
         pre = [self._preprocess(im) for im in imgs]
         if self._want_quant and not self.runner.quant:
             self.runner.calibrate([p[0] for p in pre[: max(1, len(pre) // 2)]])
@@ -141,16 +143,11 @@ class Deter:
                 chunk = idxs[c : c + MAX_BS]
                 # pad to the next power of two: <=5 traced batch sizes per
                 # shape instead of one compile per distinct page count
-                bs = 1 << (len(chunk) - 1).bit_length()
-                det_imgs = np.concatenate(
-                    [pre[i][0] for i in chunk]
-                    + [pre[chunk[0]][0]] * (bs - len(chunk)),
-                    axis=0,
+                det_imgs, _ = padded_pow2_batch(
+                    [pre[i][0] for i in chunk], combine=np.concatenate
                 )
-                shape_list = np.concatenate(
-                    [pre[i][1] for i in chunk]
-                    + [pre[chunk[0]][1]] * (bs - len(chunk)),
-                    axis=0,
+                shape_list, _ = padded_pow2_batch(
+                    [pre[i][1] for i in chunk], combine=np.concatenate
                 )
                 det_preds = self.runner(det_imgs)
                 post = self.det_post_process_class(det_preds, shape_list)

@@ -19,7 +19,7 @@ import numpy as np
 
 from pytorchocr_tpu.data import create_operators, transform
 from pytorchocr_tpu.postprocess import build_post_process
-from common import JitRunner, build_infer_model, load_variables
+from common import JitRunner, build_infer_model, load_variables, padded_pow2_batch
 from utils import draw_rec_res, load_config, show_image
 
 
@@ -92,8 +92,7 @@ class Recer:
         MAX_BS = 512
         for c in range(0, len(bgr_imgs), MAX_BS):
             chunk = [self._prep(im) for im in bgr_imgs[c : c + MAX_BS]]
-            bs = 1 << (len(chunk) - 1).bit_length()
-            batch = np.stack(chunk + [chunk[0]] * (bs - len(chunk)), axis=0)
+            batch, _ = padded_pow2_batch(chunk)
             rec_preds = self.runner(batch)
             res = self.rec_post_process_class(rec_preds)
             out.extend(

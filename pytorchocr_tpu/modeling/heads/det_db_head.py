@@ -46,8 +46,10 @@ class _Tower(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # int8 activation flow under PTQ: conv1 and the bn2/relu emission
-        # keep the half- and quarter-res tower activations int8 in HBM; the
-        # deconvs run int8 on the MXU (QuantConvTranspose).
+        # keep the half- and quarter-res tower activations int8 in HBM.
+        # Deconv COMPUTE stays bf16 (nn.ConvTranspose) — the int8 deconv
+        # lowering measured slower end to end (benchmarks/ROOFLINE.md
+        # negative results); only its IO tensors ride HBM as int8.
         c = self.in_channels // 4
         x = ConvBNAct(c, 3, 1, act="relu", dtype=self.dtype, emit_q=True,
                       q_region="q8_head", name="conv1")(x, train)

@@ -261,10 +261,16 @@ class QuantConv(nn.Module):
 
 class QuantConvTranspose(nn.Module):
     """int8 PTQ twin of ``nn.ConvTranspose`` (param tree identical: kernel
-    (kh, kw, in, out) + bias, so float checkpoints restore unchanged), used
-    by the DBHead upsampling towers.  Same scheme as QuantConv: calibrated
-    per-tensor input scale (or an incoming QTensor's), per-output-channel
-    weight scales, int8 x int8 -> int32 on the MXU."""
+    (kh, kw, in, out) + bias, so float checkpoints restore unchanged).
+    Same scheme as QuantConv: calibrated per-tensor input scale (or an
+    incoming QTensor's), per-output-channel weight scales, int8 x int8 ->
+    int32 on the MXU.
+
+    NOT used by the production DBHead: the int8 deconv lowering measured
+    SLOWER end to end than bf16 deconv compute with int8 IO (535s loop
+    compile, 925 vs 1176 imgs/s — benchmarks/ROOFLINE.md negative
+    results).  Kept, with its parity test, as the documented negative
+    result and for configs that want it explicitly."""
 
     features: int
     kernel_size: Sequence[int]

@@ -34,6 +34,22 @@ def _save_pytree(path, tree):
         ckptr.save(path, jax.device_get(tree), force=True)
 
 
+def _swap_dirs(staging, path):
+    """Replace directory `path` with `staging`, never leaving a window with
+    neither present: path -> path.old, staging -> path, drop path.old.
+    A crash mid-sequence leaves `path` or `path.old` restorable."""
+    import shutil
+
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def _restore_pytree(path, target=None):
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
@@ -55,9 +71,22 @@ def save_model(state, global_state, cfg, model_dir, logger=None,
         "opt_state": state.opt_state,
         "step": state.step,
     }
-    _save_pytree(path, tree)
-    with open(os.path.join(path, "global_state.json"), "w") as f:
+    # Save into a staging dir, then atomically-enough swap it in: saving
+    # straight onto `path` with force=True has orbax rmtree the previous
+    # checkpoint BEFORE writing the new one, so a hang/crash during the
+    # save (the exact scenario the save-hang watchdog re-execs out of,
+    # tools/program.py) would leave NO resumable `latest` at all.
+    # global_state.json is written inside staging BEFORE the swap so a
+    # finalized checkpoint always carries its epoch/step metadata.
+    staging = path + ".staging"
+    if os.path.isdir(staging):
+        import shutil
+
+        shutil.rmtree(staging)
+    _save_pytree(staging, tree)
+    with open(os.path.join(staging, "global_state.json"), "w") as f:
         json.dump(global_state, f)
+    _swap_dirs(staging, path)
     if is_best:
         logger.info("save best model to {}".format(path))
     else:
@@ -75,6 +104,14 @@ def load_model(config, state, logger=None):
 
     if checkpoints:
         path = os.path.abspath(checkpoints)
+        if not os.path.isdir(path) and os.path.isdir(path + ".old"):
+            # a crash between the two renames in _swap_dirs left only the
+            # previous finalized checkpoint — resume from that
+            logger.warning(
+                "checkpoint {} missing; falling back to {}.old "
+                "(interrupted save)".format(path, path)
+            )
+            path = path + ".old"
         tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,

@@ -213,3 +213,51 @@ def test_bilstm_checkpoint_migration_prefusion_layout():
 
     got = np.asarray(BiLSTM(hidden_size=H).apply({"params": p}, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_checkpoint_save_staged_swap_and_old_fallback(tmp_path):
+    """save_model must never leave a window with no restorable checkpoint:
+    it stages into <prefix>.staging and swaps (so a crash mid-save keeps
+    the previous `latest`), writes global_state.json BEFORE the swap, and
+    load_model falls back to <prefix>.old when only the mid-swap remnant
+    survives."""
+    import os
+    import jax
+    import optax
+
+    from pytorchocr_tpu.trainer import TrainState
+    from pytorchocr_tpu.utils.save_load import load_model, save_model
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        params=params,
+        batch_stats={},
+        opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    d = str(tmp_path)
+    save_model(state, {"start_epoch": 3, "best_model": {"acc": 0.5},
+                       "global_step": 30}, {}, d, prefix="latest")
+    path = os.path.join(d, "latest")
+    assert os.path.isdir(path)
+    assert not os.path.isdir(path + ".staging")
+    assert not os.path.isdir(path + ".old")
+    # metadata finalized with the checkpoint, not after it
+    assert os.path.exists(os.path.join(path, "global_state.json"))
+
+    # second save replaces the first in place
+    state2 = state.replace(params={"w": jnp.full((4, 4), 2.0)},
+                           step=jnp.asarray(1, jnp.int32))
+    save_model(state2, {"start_epoch": 4, "best_model": {"acc": 0.6},
+                        "global_step": 40}, {}, d, prefix="latest")
+    cfg = {"Global": {"checkpoints": path, "pretrained_model": None}}
+    restored, gs = load_model(cfg, state)
+    assert float(restored.params["w"][0, 0]) == 2.0
+    assert gs["start_epoch"] == 4
+
+    # crash between the two renames of the swap: only `.old` survives
+    os.rename(path, path + ".old")
+    restored, gs = load_model(cfg, state)
+    assert float(restored.params["w"][0, 0]) == 2.0
+    assert gs["global_step"] == 40

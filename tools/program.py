@@ -139,24 +139,31 @@ def preprocess(is_train=False):
     return config, rng, logger, tsb_writer
 
 
-def _device_batch(batch, mesh, wire_dtype=None):
+def _device_batch(batch, mesh, wire_dtype=None, labels_dtype=None):
     """numpy batch list -> tuple with ndarray fields sharded on device.
 
-    ``wire_dtype``: optional narrower dtype for float32 fields on the wire
-    (host->device). Under bf16 compute the model casts inputs down anyway,
-    so shipping f32 over PCIe/tunnel wastes 2x the bytes — and in this
-    environment every transferred byte is also LEAKED host-side by the
-    tunneled PJRT client (measured ~1.0x bytes/transfer, see
-    Global.max_host_rss_gb below), so halving wire bytes halves the leak.
-    The numpy array goes straight to device_put with its sharding — the
-    previous jnp.asarray() staged an extra full transfer to the default
-    device before resharding (1.5x leak, 2x H2D traffic).
+    ``wire_dtype``: optional narrower dtype for the float32 IMAGE tensor
+    (batch[0]) on the wire (host->device). Under bf16 compute the model
+    casts its input down anyway, so shipping f32 over PCIe/tunnel wastes
+    2x the bytes — and in this environment every transferred byte is also
+    LEAKED host-side by the tunneled PJRT client (measured ~1.0x
+    bytes/transfer, see Global.max_host_rss_gb below), so halving wire
+    bytes halves the leak.  Float32 LABEL fields (GT maps, regression
+    targets) ship at full precision by default — they feed the loss
+    directly, where a bf16 cast would silently quantize the training
+    targets (e.g. SLANet's normalized bboxes to ~2px granularity); pass
+    ``labels_dtype`` (Global.wire_labels_dtype) to narrow them too when a
+    run is leak-constrained and its targets tolerate it (binary masks are
+    exact in bf16).  The numpy array goes straight to device_put with its
+    sharding — a jnp.asarray() would stage an extra full transfer to the
+    default device before resharding (1.5x leak, 2x H2D traffic).
     """
     out = []
-    for item in batch:
+    for i, item in enumerate(batch):
         if isinstance(item, np.ndarray) and item.dtype != object and item.dtype.kind in "fiub":
-            if wire_dtype is not None and item.dtype == np.float32:
-                item = item.astype(wire_dtype)
+            cast = wire_dtype if i == 0 else labels_dtype
+            if cast is not None and item.dtype == np.float32:
+                item = item.astype(cast)
             out.append(shard_batch(item, mesh))
         else:
             out.append(item)
@@ -265,14 +272,21 @@ def train(
             "wire_dtype", "bf16" if global_config.get("use_amp") else "f32"
         )
     )
-    if wd_cfg in ("bf16", "bfloat16"):
-        import ml_dtypes
+    def _parse_wire_dtype(name):
+        if name in ("bf16", "bfloat16"):
+            import ml_dtypes
 
-        wire_dtype = ml_dtypes.bfloat16
-    elif wd_cfg in ("f16", "float16"):
-        wire_dtype = np.float16
-    else:
-        wire_dtype = None
+            return ml_dtypes.bfloat16
+        if name in ("f16", "float16"):
+            return np.float16
+        return None
+
+    wire_dtype = _parse_wire_dtype(wd_cfg)
+    # label fields default to full precision (loss targets); narrow with
+    # Global.wire_labels_dtype: bf16|f16 for leak-constrained runs.
+    labels_dtype = _parse_wire_dtype(
+        str(global_config.get("wire_labels_dtype", "f32"))
+    )
 
     # Host-RSS watchdog: the tunneled PJRT client in this environment leaks
     # ~1x every transferred byte in host anon memory (measured; a 60-epoch
@@ -287,9 +301,11 @@ def train(
     # tunnel: all threads futex-parked, while fresh processes could still
     # reach the TPU).  A Python signal handler cannot interrupt a
     # futex-parked C call, so a watchdog THREAD re-execs the process into
-    # a resume from the last finalized `latest` (orbax renames are atomic,
-    # so a half-written save never becomes `latest`).  Progress since that
-    # save is lost; an infinite hang is not.  0 disables.
+    # a resume from the last finalized `latest` (save_model stages into
+    # latest.staging and swaps, so a save that hangs/crashes mid-write
+    # leaves the previous `latest` — or `latest.old` mid-swap — intact).
+    # Progress since that save is lost; an infinite hang is not.  0
+    # disables.
     save_timeout_s = int(global_config.get("save_timeout_s", 900))
 
     def _save_with_timeout(*args, **kwargs):
@@ -311,9 +327,10 @@ def train(
             )
             sys.stdout.flush()
             sys.stderr.flush()
-            if os.path.isdir(latest):
-                os.environ["OCR_TPU_RESUME"] = latest
-                os.execv(sys.executable, [sys.executable] + sys.argv)
+            for cand in (latest, latest + ".old"):
+                if os.path.isdir(cand):
+                    os.environ["OCR_TPU_RESUME"] = cand
+                    os.execv(sys.executable, [sys.executable] + sys.argv)
             os._exit(75)  # EX_TEMPFAIL: no checkpoint yet, let a supervisor retry
 
         watcher = threading.Thread(target=_watch, daemon=True)
@@ -373,7 +390,7 @@ def train(
                 else:  # epoch tail: per-step dispatch for the remainder
                     for b in pending:
                         state, losses = train_step(
-                            state, _device_batch(b, mesh, wire_dtype)
+                            state, _device_batch(b, mesh, wire_dtype, labels_dtype)
                         )
                     n_done = len(pending)
                 loss_window.append((losses, lr))
@@ -407,7 +424,7 @@ def train(
                 reader_start = time.time()
                 continue
 
-            batch = _device_batch(batch_np, mesh, wire_dtype)
+            batch = _device_batch(batch_np, mesh, wire_dtype, labels_dtype)
             train_reader_cost += time.time() - reader_start
             lr = float(lr_schedule(global_step))
 

@@ -47,7 +47,7 @@ run_one() {
     -o Global.checkpoints="$out/best_accuracy" \
     > "/tmp/q_${name}.eval.log" 2>&1
   echo "eval $name rc=$?" >> "$SUMMARY"
-  grep -h "metric eval" "/tmp/q_${name}.eval.log" | tail -1 >> "$SUMMARY"
+  grep -h -A6 "metric eval" "/tmp/q_${name}.eval.log" | tail -7 >> "$SUMMARY"
 }
 
 NAMES=("$@")
