@@ -187,3 +187,26 @@ def test_show_image_headless_guard(monkeypatch, capsys):
     monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
     show_image("t", np.zeros((4, 4, 3), np.uint8))  # must not raise
     assert "no display" in capsys.readouterr().out
+
+
+def test_padded_pow2_batch():
+    import numpy as np
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "deploy"))
+    from common import padded_pow2_batch
+
+    # exact power of two: no padding
+    arrs = [np.full((2, 2), i, np.float32) for i in range(4)]
+    batch, n = padded_pow2_batch(arrs)
+    assert batch.shape == (4, 2, 2) and n == 4
+    # off-pow2 pads with the FIRST element up to the next power of two
+    batch, n = padded_pow2_batch(arrs[:3])
+    assert batch.shape == (4, 2, 2) and n == 3
+    assert (batch[3] == arrs[0]).all()
+    # single element
+    batch, n = padded_pow2_batch(arrs[:1])
+    assert batch.shape == (1, 2, 2) and n == 1
+    # concatenate mode (per-sample arrays already carry a batch dim)
+    arrs_b = [np.full((1, 3), i, np.float32) for i in range(5)]
+    batch, n = padded_pow2_batch(arrs_b, combine=np.concatenate)
+    assert batch.shape == (8, 3) and n == 5
