@@ -92,3 +92,36 @@ def test_pan_gt_upscales_short_edge():
     out = MakePanGt(size=64)(data)
     assert min(out["image"].shape[:2]) == 64
     assert np.allclose(out["polys"], _data()["polys"] * 2.0)
+
+
+def test_pse_gt_shared_field_matches_per_rate_rasterization():
+    """The shared-distance-field fast path must reproduce the per-rate
+    generate_kernel rasterization bit-exactly (same ROI, fill, and
+    DIST_MASK_PRECISE threshold) for every kernel level, including the
+    unshrunk rate=1.0 text map, on polys of varied shape/orientation."""
+    rng = np.random.RandomState(7)
+    polys = []
+    for _ in range(5):
+        cx, cy = rng.uniform(20, 100), rng.uniform(20, 60)
+        w, h = rng.uniform(12, 40), rng.uniform(8, 20)
+        ang = rng.uniform(0, np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        base = np.array([[-w, -h], [w, -h], [w, h], [-w, h]], np.float32) / 2
+        rot = base @ np.array([[c, -s], [s, c]], np.float32)
+        polys.append(rot + [cx, cy])
+    polys = np.stack(polys)
+    data = {
+        "image": np.zeros((80, 120, 3), np.uint8),
+        "polys": polys.copy(),
+        "ignore_tags": [False] * len(polys),
+    }
+    op = MakePseGt(kernel_num=7, size=64, min_shrink_ratio=0.4)
+    out = op(data)
+    got = np.concatenate([out["gt_text"][None], out["gt_kernels"]], axis=0)
+
+    for i in range(7):
+        rate = 1.0 - (1.0 - 0.4) / 6 * i
+        want, _ = MakePseGt.generate_kernel(
+            (80, 120), rate, polys, [False] * len(polys)
+        )
+        np.testing.assert_array_equal(got[i], (want > 0).astype(np.float32))
