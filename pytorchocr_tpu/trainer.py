@@ -24,9 +24,14 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray  # int32 scalar
 
 
-def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
-    """Initialize params/batch_stats from an example batch (host numpy)."""
+def create_train_state(model, tx, rng, example_batch, frozen_prefixes=(),
+                       input_transform=None):
+    """Initialize params/batch_stats from an example batch (host numpy).
+    input_transform (Global.device_normalize) maps the raw uint8 image
+    tensor to the normalized floats the model actually sees."""
     images = jnp.asarray(example_batch[0])
+    if input_transform is not None:
+        images = input_transform(images)
     # heads receive the FULL positional batch as `data` (same contract as
     # make_train_step; e.g. SLAHead reads targets[1] = structure tokens)
     data = tuple(
@@ -55,18 +60,70 @@ def create_train_state(model, tx, rng, example_batch, frozen_prefixes=()):
     )
 
 
-def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False):
+def build_input_transform(spec):
+    """Compile a recorded host-normalize chain into a jit-traceable image
+    transform (uint8 NHWC wire -> normalized float32).
+
+    `spec` is the list of {op, params} entries that program.preprocess()
+    strips from the data pipeline under ``Global.device_normalize`` —
+    the training-side analogue of the deploy JitRunner's fused on-device
+    normalize (and of the reference's CUDA NormMeanStd kernel,
+    deploy/trt_utils.py:33-60): images cross the tunnel as uint8 (4x
+    fewer bytes than f32) and the scale/mean/std arithmetic fuses into
+    the first conv's input read on device.  Returns None for an empty
+    spec.
+    """
+    if not spec:
+        return None
+    steps = []
+    for entry in spec:
+        name, params = entry["op"], entry.get("params") or {}
+        if name == "ToTensor":
+            steps.append(lambda x: x / 255.0)
+        elif name == "Normalize":
+            mean = jnp.asarray(params["mean"], jnp.float32).reshape(1, 1, 1, -1)
+            std = jnp.asarray(params["std"], jnp.float32).reshape(1, 1, 1, -1)
+            steps.append(lambda x, m=mean, s=std: (x - m) / s)
+        elif name == "NormalizeImage":
+            scale = params.get("scale", 1.0 / 255.0)
+            scale = eval(scale) if isinstance(scale, str) else scale
+            mean = jnp.asarray(
+                params.get("mean", [0.485, 0.456, 0.406]), jnp.float32
+            ).reshape(1, 1, 1, -1)
+            std = jnp.asarray(
+                params.get("std", [0.229, 0.224, 0.225]), jnp.float32
+            ).reshape(1, 1, 1, -1)
+            steps.append(lambda x, sc=scale, m=mean, s=std: (x * sc - m) / s)
+        else:  # pragma: no cover — preprocess() only records the above
+            raise ValueError("unsupported device_normalize op: %s" % name)
+
+    def transform(images):
+        x = images.astype(jnp.float32)
+        if x.ndim == 3:  # HW C-less gray from some chains
+            x = x[..., None]
+        for s in steps:
+            x = s(x)
+        return x
+
+    return transform
+
+
+def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
+                    input_transform=None):
     """Build the jitted train step.
 
     batch is a tuple of arrays; batch[0] is the NHWC image tensor; the loss
     consumes (preds, batch) with the reference's positional contract.
     remat=True rematerializes the forward during backward (jax.checkpoint)
     — trades ~30% step FLOPs for activation memory, enabling larger
-    batches/resolutions per chip.
+    batches/resolutions per chip.  input_transform (optional) normalizes
+    the raw uint8 image tensor on device (Global.device_normalize).
     """
 
     def step_fn(state: TrainState, batch):
         images = batch[0]
+        if input_transform is not None:
+            images = input_transform(images)
 
         def forward(params, images, batch):
             variables = {"params": params}
@@ -184,11 +241,13 @@ def stack_batches(batches):
     )
 
 
-def make_eval_step(model, mesh):
+def make_eval_step(model, mesh, input_transform=None):
     """Jitted eval forward.  Recompiles per input shape; DetResizeForTest
     buckets keep the shape set small."""
 
     def eval_fn(params, batch_stats, images):
+        if input_transform is not None:
+            images = input_transform(images)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats

@@ -178,6 +178,7 @@ Global:
   pretrained_model:
   checkpoints:
   use_tensorboard: False
+  device_normalize: True   # uint8 wire + fused on-device ToTensor/Normalize
 Architecture:
   model_type: det
   algorithm: DB

@@ -32,7 +32,11 @@ from pytorchocr_tpu.modeling import build_model
 from pytorchocr_tpu.optimizer import build_optimizer
 from pytorchocr_tpu.parallel.mesh import create_mesh
 from pytorchocr_tpu.postprocess import build_post_process
-from pytorchocr_tpu.trainer import create_train_state, make_eval_step
+from pytorchocr_tpu.trainer import (
+    build_input_transform,
+    create_train_state,
+    make_eval_step,
+)
 from pytorchocr_tpu.utils.save_load import load_model
 import program
 
@@ -56,8 +60,13 @@ def main(config, rng, logger, tsb_writer):
     tx, _ = build_optimizer(config["Optimizer"], epochs=1, step_each_epoch=1)
     mesh = create_mesh()
 
+    input_transform = build_input_transform(
+        global_config.get("_device_normalize_spec", {}).get("Eval")
+    )
     example_batch = next(iter(valid_dataloader))
-    state = create_train_state(model, tx, rng, example_batch)
+    state = create_train_state(
+        model, tx, rng, example_batch, input_transform=input_transform
+    )
     state, _ = load_model(config, state, logger)
 
     if global_config.get("quant", False):
@@ -66,7 +75,10 @@ def main(config, rng, logger, tsb_writer):
         calib_n = int(global_config.get("quant_calib_n", 8))
         calib = []
         for i, b in enumerate(valid_dataloader):
-            calib.append(jnp.asarray(b[0]))
+            img = jnp.asarray(b[0])
+            if input_transform is not None:
+                img = input_transform(img)
+            calib.append(img)
             if i + 1 >= calib_n:
                 break
         variables = {"params": state.params}
@@ -76,6 +88,8 @@ def main(config, rng, logger, tsb_writer):
         qvars = quant_ops.calibrate(model, variables, calib)["quant"]
 
         def eval_fn(params, batch_stats, images):
+            if input_transform is not None:
+                images = input_transform(images)
             vs = {"params": params, "quant": qvars}
             if batch_stats:
                 vs["batch_stats"] = batch_stats
@@ -86,7 +100,7 @@ def main(config, rng, logger, tsb_writer):
     else:
         import contextlib
 
-        eval_step = make_eval_step(model, mesh)
+        eval_step = make_eval_step(model, mesh, input_transform=input_transform)
         quant_ctx = contextlib.nullcontext()
     with quant_ctx:
         metric = program.evaluate(

@@ -32,7 +32,11 @@ from pytorchocr_tpu.utils import (
 )
 from pytorchocr_tpu.utils.save_load import save_model
 from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch, shard_or_replicate
-from pytorchocr_tpu.trainer import make_eval_step, make_train_step
+from pytorchocr_tpu.trainer import (
+    build_input_transform,
+    make_eval_step,
+    make_train_step,
+)
 
 SUPPORTED_ALGS = [
     "DB", "PSE", "PAN", "CRNN", "STARNet", "CLS", "Distillation", "SLANet",
@@ -69,6 +73,29 @@ class TensorboardWriter:
     def close(self):
         if self._writer is not None:
             self._writer.close()
+
+
+def extract_device_normalize(config):
+    """Strip host-side ToTensor/Normalize/NormalizeImage from the Train and
+    Eval transform lists and record their params in
+    Global._device_normalize_spec for trainer.build_input_transform (see
+    the Global.device_normalize comment in preprocess())."""
+    _NORM_OPS = ("ToTensor", "Normalize", "NormalizeImage")
+    specs = {}
+    for mode in ("Train", "Eval"):
+        tlist = config.get(mode, {}).get("dataset", {}).get("transforms") or []
+        kept, spec = [], []
+        for entry in tlist:
+            name = next(iter(entry))
+            if name in _NORM_OPS:
+                spec.append({"op": name, "params": entry[name]})
+            else:
+                kept.append(entry)
+        if spec:
+            config[mode]["dataset"]["transforms"] = kept
+            specs[mode] = spec
+    config["Global"]["_device_normalize_spec"] = specs
+    return specs
 
 
 def preprocess(is_train=False):
@@ -111,6 +138,16 @@ def preprocess(is_train=False):
 
     alg = config["Architecture"]["algorithm"]
     assert alg in SUPPORTED_ALGS, "algorithm must be in {}".format(SUPPORTED_ALGS)
+
+    # Global.device_normalize: move host-side ToTensor/Normalize/
+    # NormalizeImage onto the device (fused into the jitted step — the
+    # training analogue of the deploy uint8 path / the reference's CUDA
+    # NormMeanStd kernel).  Strips the ops from the data pipeline and
+    # records their params for trainer.build_input_transform; images then
+    # cross the wire as uint8 (4x fewer bytes than f32) and the reader
+    # skips two full-image float passes per sample.
+    if config["Global"].get("device_normalize", False):
+        extract_device_normalize(config)
 
     # multi-host TPU init (single-process is a no-op)
     if config["Global"].get("distributed", False) and (
@@ -231,8 +268,14 @@ def train(
 
     # Global.remat: rematerialize the forward in backward (jax.checkpoint)
     remat = bool(global_config.get("remat", False))
-    train_step = make_train_step(model, loss_class, tx, mesh, remat=remat)
-    eval_step = make_eval_step(model, mesh)
+    _dn_spec = global_config.get("_device_normalize_spec", {})
+    train_step = make_train_step(
+        model, loss_class, tx, mesh, remat=remat,
+        input_transform=build_input_transform(_dn_spec.get("Train")),
+    )
+    eval_step = make_eval_step(
+        model, mesh, input_transform=build_input_transform(_dn_spec.get("Eval"))
+    )
 
     # multi-step dispatch (Global.steps_per_dispatch > 1): scan k steps per
     # device call — amortizes dispatch overhead (vital behind TPU proxies

@@ -21,7 +21,7 @@ from pytorchocr_tpu.modeling import build_model
 from pytorchocr_tpu.optimizer import build_optimizer
 from pytorchocr_tpu.parallel.mesh import create_mesh
 from pytorchocr_tpu.postprocess import build_post_process
-from pytorchocr_tpu.trainer import create_train_state
+from pytorchocr_tpu.trainer import build_input_transform, create_train_state
 from pytorchocr_tpu.utils.save_load import (
     load_backbone_pretrained,
     load_model,
@@ -79,7 +79,12 @@ def main(config, rng, logger, tsb_writer):
 
     # init state from one example batch
     example_batch = next(iter(train_dataloader))
-    state = create_train_state(model, tx, rng, example_batch)
+    state = create_train_state(
+        model, tx, rng, example_batch,
+        input_transform=build_input_transform(
+            global_config.get("_device_normalize_spec", {}).get("Train")
+        ),
+    )
 
     # ImageNet backbone init first, then per-submodel (teacher) checkpoints,
     # then resume/finetune checkpoints on top
