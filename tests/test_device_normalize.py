@@ -127,3 +127,27 @@ def test_train_step_equivalence_uint8_vs_host_normalized():
     np.testing.assert_allclose(
         float(losses_a["loss"]), float(losses_b["loss"]), rtol=1e-4
     )
+
+
+def test_extract_device_normalize_refuses_nontrailing_norm():
+    """A host image op running AFTER Normalize must block extraction for
+    that mode (its input semantics would change)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from program import extract_device_normalize
+
+    config = {
+        "Global": {"device_normalize": True},
+        "Train": {"dataset": {"transforms": [
+            {"DecodeImage": {"img_mode": "RGB"}},
+            {"ToTensor": None},
+            {"Normalize": {"mean": MEAN, "std": STD}},
+            {"SomePaddingOp": {"pad": 4}},
+            {"KeepKeys": {"keep_keys": ["image"]}},
+        ]}},
+    }
+    specs = extract_device_normalize(config)
+    assert "Train" not in specs
+    names = [next(iter(e)) for e in config["Train"]["dataset"]["transforms"]]
+    assert names == ["DecodeImage", "ToTensor", "Normalize", "SomePaddingOp",
+                     "KeepKeys"]

@@ -84,16 +84,29 @@ def extract_device_normalize(config):
     specs = {}
     for mode in ("Train", "Eval"):
         tlist = config.get(mode, {}).get("dataset", {}).get("transforms") or []
-        kept, spec = [], []
-        for entry in tlist:
-            name = next(iter(entry))
-            if name in _NORM_OPS:
-                spec.append({"op": name, "params": entry[name]})
-            else:
-                kept.append(entry)
-        if spec:
-            config[mode]["dataset"]["transforms"] = kept
-            specs[mode] = spec
+        names = [next(iter(e)) for e in tlist]
+        norm_idx = [i for i, n in enumerate(names) if n in _NORM_OPS]
+        if not norm_idx:
+            continue
+        # Only extract TRAILING norm ops: an image op running after
+        # Normalize on the host (e.g. a padding op) would see normalized
+        # floats there but raw uint8 here — different semantics.  KeepKeys
+        # is not an image op and may follow.
+        if any(
+            n not in _NORM_OPS and n != "KeepKeys"
+            for n in names[norm_idx[0]:]
+        ):
+            get_logger().warning(
+                "device_normalize: %s transforms have image ops after %s — "
+                "leaving them on host for this mode", mode, names[norm_idx[0]]
+            )
+            continue
+        config[mode]["dataset"]["transforms"] = [
+            e for i, e in enumerate(tlist) if i not in norm_idx
+        ]
+        specs[mode] = [
+            {"op": names[i], "params": tlist[i][names[i]]} for i in norm_idx
+        ]
     config["Global"]["_device_normalize_spec"] = specs
     return specs
 
