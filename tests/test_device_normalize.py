@@ -151,3 +151,38 @@ def test_extract_device_normalize_refuses_nontrailing_norm():
     names = [next(iter(e)) for e in config["Train"]["dataset"]["transforms"]]
     assert names == ["DecodeImage", "ToTensor", "Normalize", "SomePaddingOp",
                      "KeepKeys"]
+
+
+def test_stall_watchdog_fires_and_respects_beats():
+    """StallWatchdog must fire on_stall only after `timeout_s` without a
+    beat, and never once stopped or while beaten."""
+    import sys, os, time, threading
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from program import StallWatchdog
+
+    fired = threading.Event()
+    dog = StallWatchdog(0.5, "/nonexistent", None, on_stall=fired.set)
+    dog.start()
+    # beaten faster than the timeout: must not fire
+    for _ in range(4):
+        time.sleep(0.2)
+        dog.beat()
+    assert not fired.is_set()
+    # starve it: must fire within a couple of poll cycles
+    assert fired.wait(2.0), "watchdog did not fire on a stalled heartbeat"
+    dog.stop()
+
+    # disabled (timeout 0): start() is a no-op
+    fired2 = threading.Event()
+    dog2 = StallWatchdog(0, "/nonexistent", None, on_stall=fired2.set)
+    dog2.start()
+    time.sleep(0.3)
+    assert not fired2.is_set()
+
+    # stopped before expiry: must not fire
+    fired3 = threading.Event()
+    dog3 = StallWatchdog(0.4, "/nonexistent", None, on_stall=fired3.set)
+    dog3.start()
+    dog3.stop()
+    time.sleep(0.8)
+    assert not fired3.is_set()

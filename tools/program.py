@@ -220,6 +220,72 @@ def _device_batch(batch, mesh, wire_dtype=None, labels_dtype=None):
     return tuple(out)
 
 
+def _resume_reexec(save_model_dir, logger, reason):
+    """Re-exec this process into a checkpoint resume (or exit 75 when no
+    checkpoint exists yet).  Shared action of the save-hang, host-RSS and
+    stall watchdogs."""
+    latest = os.path.abspath(os.path.join(save_model_dir, "latest"))
+    logger.error("%s — re-exec'ing with resume from %s", reason, latest)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    for cand in (latest, latest + ".old"):
+        if os.path.isdir(cand):
+            os.environ["OCR_TPU_RESUME"] = cand
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+    os._exit(75)  # EX_TEMPFAIL: no checkpoint yet, let a supervisor retry
+
+
+class StallWatchdog:
+    """Detect a wedged train loop and re-exec into a checkpoint resume.
+
+    Failure mode (observed twice in this environment): the tunneled PJRT
+    client wedges mid-step — every thread futex-parked, the loop never
+    returns from a dispatch/fetch — while a FRESH process can still reach
+    the TPU.  No Python signal handler can interrupt the parked C call and,
+    unlike checkpoint saves, there is no single call site to wrap, so a
+    daemon thread watches a heartbeat the loop beats every train iteration
+    and every eval batch.  `timeout_s` must exceed the longest legitimate
+    gap between beats (a cold 736px compile through the tunnel is minutes;
+    default 1800s).  The reference framework has no failure detection at
+    all (SURVEY.md §5); recovery here = the RSS watchdog's exact-resume
+    path.  Stop() before saves — they hold the heartbeat for minutes and
+    have their own watchdog.
+    """
+
+    def __init__(self, timeout_s, save_model_dir, logger, on_stall=None):
+        import threading
+
+        self.timeout_s = timeout_s
+        self._beat_t = time.monotonic()
+        self._stop = threading.Event()
+        self._on_stall = on_stall or (
+            lambda: _resume_reexec(
+                save_model_dir, logger,
+                "train loop made no progress for %ds (wedged device "
+                "client?)" % timeout_s,
+            )
+        )
+        self._thread = threading.Thread(target=self._watch, daemon=True)
+
+    def beat(self):
+        self._beat_t = time.monotonic()
+
+    def start(self):
+        if self.timeout_s > 0:
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def _watch(self):
+        poll = max(1.0, min(30.0, self.timeout_s / 4.0))
+        while not self._stop.wait(poll):
+            if time.monotonic() - self._beat_t > self.timeout_s:
+                self._on_stall()
+                return
+
+
 def train(
     config,
     mesh,
@@ -364,6 +430,16 @@ def train(
     # disables.
     save_timeout_s = int(global_config.get("save_timeout_s", 900))
 
+    # Stall watchdog: heartbeat per train iteration / eval batch; see
+    # StallWatchdog.  Default 1800s clears a cold 736px tunnel compile
+    # with margin.  0 disables; multi-host recovery is out of scope.
+    stall_dog = None
+    if jax.process_count() == 1:
+        stall_dog = StallWatchdog(
+            int(global_config.get("stall_timeout_s", 1800)),
+            save_model_dir, logger,
+        ).start()
+
     def _save_with_timeout(*args, **kwargs):
         if save_timeout_s <= 0 or jax.process_count() > 1:
             save_model(*args, **kwargs)
@@ -376,18 +452,11 @@ def train(
         def _watch():
             if done.wait(save_timeout_s):
                 return
-            latest = os.path.abspath(os.path.join(save_model_dir, "latest"))
-            logger.error(
-                "checkpoint save stuck for %ds (wedged device client?) — "
-                "re-exec'ing with resume from %s", save_timeout_s, latest,
+            _resume_reexec(
+                save_model_dir, logger,
+                "checkpoint save stuck for %ds (wedged device client?)"
+                % save_timeout_s,
             )
-            sys.stdout.flush()
-            sys.stderr.flush()
-            for cand in (latest, latest + ".old"):
-                if os.path.isdir(cand):
-                    os.environ["OCR_TPU_RESUME"] = cand
-                    os.execv(sys.executable, [sys.executable] + sys.argv)
-            os._exit(75)  # EX_TEMPFAIL: no checkpoint yet, let a supervisor retry
 
         watcher = threading.Thread(target=_watch, daemon=True)
         watcher.start()
@@ -431,15 +500,18 @@ def train(
                     stacked_sharding = NamedSharding(
                         mesh, PartitionSpec(None, "data")
                     )
+                    # images (field 0) narrow to wire_dtype; label fields
+                    # keep f32 unless wire_labels_dtype opts in (same
+                    # policy as _device_batch)
+                    def _stacked_cast(i, x):
+                        cast = wire_dtype if i == 0 else labels_dtype
+                        if cast is not None and getattr(x, "dtype", None) == np.float32:
+                            return x.astype(cast)
+                        return x
+
                     sdev = tuple(
-                        jax.device_put(
-                            x.astype(wire_dtype)
-                            if wire_dtype is not None
-                            and getattr(x, "dtype", None) == np.float32
-                            else x,
-                            stacked_sharding,
-                        )
-                        for x in stacked
+                        jax.device_put(_stacked_cast(i, x), stacked_sharding)
+                        for i, x in enumerate(stacked)
                     )
                     state, losses = multi_step(state, sdev)
                     n_done = steps_per_dispatch
@@ -456,6 +528,8 @@ def train(
                 total_samples += sum(len(b[0]) for b in pending)
                 pending = []
                 global_step += n_done
+                if stall_dog:
+                    stall_dog.beat()
                 if jax.process_index() == 0 and (
                     global_step % print_batch_step < n_done or last_iter
                 ):
@@ -544,6 +618,8 @@ def train(
                 train_run_cost = 0.0
                 total_samples = 0
             global_step += 1
+            if stall_dog:
+                stall_dog.beat()
             reader_start = time.time()
 
         # ------------------------------------------------------------------
@@ -562,6 +638,7 @@ def train(
                 post_process_class,
                 eval_class,
                 model_type,
+                heartbeat=stall_dog.beat if stall_dog else None,
             )
             cur_metric_str = "cur metric, {}".format(
                 ", ".join(["{}: {}".format(k, v) for k, v in cur_metric.items()])
@@ -649,11 +726,15 @@ def evaluate(
     post_process_class,
     eval_class,
     model_type=None,
+    heartbeat=None,
 ):
-    """Eval loop (reference tools/program.py:421-473)."""
+    """Eval loop (reference tools/program.py:421-473).  ``heartbeat``:
+    optional zero-arg callable beaten once per batch (StallWatchdog)."""
     total_frame = 0.0
     total_time = 0.0
     for idx, batch_np in enumerate(valid_dataloader):
+        if heartbeat is not None:
+            heartbeat()
         # numpy goes straight to device_put with its sharding (an
         # intermediate jnp.asarray would stage a second full transfer)
         images = shard_or_replicate(np.asarray(batch_np[0]), mesh)
