@@ -35,6 +35,22 @@ class PubTabDataSet:
             self.shuffle_data_random()
         self.ops = create_operators(dataset_config["transforms"], global_config)
 
+        # opt-in decoded-image cache — same semantics/bound as
+        # SimpleDataSet.cache_decoded (see simple_dataset.py)
+        self.cache_decoded = bool(dataset_config.get("cache_decoded", False))
+        if self.cache_decoded and (
+            not self.ops or type(self.ops[0]).__name__ != "DecodeImage"
+        ):
+            logger.warning(
+                "cache_decoded: first transform is not DecodeImage — disabled"
+            )
+            self.cache_decoded = False
+        self._decode_cache = {}
+        self._decode_cache_bytes = 0
+        self._decode_cache_cap = (
+            int(dataset_config.get("cache_decoded_mb", 2048)) * 2**20
+        )
+
     def get_image_info_list(self, file_list, ratio_list):
         if isinstance(file_list, str):
             file_list = [file_list]
@@ -62,9 +78,30 @@ class PubTabDataSet:
             data = {"img_path": img_path, "cells": cells, "structure": structure}
             if not os.path.exists(img_path):
                 raise FileNotFoundError("{} does not exist!".format(img_path))
-            with open(img_path, "rb") as f:
-                data["image"] = f.read()
-            outs = transform(data, self.ops)
+            ops = self.ops
+            if self.cache_decoded:
+                cached = self._decode_cache.get(img_path)
+                if cached is not None:
+                    data["image"] = cached.copy()
+                    ops = self.ops[1:]
+                else:
+                    with open(img_path, "rb") as f:
+                        data["image"] = f.read()
+                    data = transform(data, self.ops[:1])
+                    if data is None:
+                        raise ValueError("decode failed for %s" % img_path)
+                    decoded = data["image"]
+                    if (
+                        self._decode_cache_bytes + decoded.nbytes
+                        <= self._decode_cache_cap
+                    ):
+                        self._decode_cache[img_path] = decoded.copy()
+                        self._decode_cache_bytes += decoded.nbytes
+                    ops = self.ops[1:]
+            else:
+                with open(img_path, "rb") as f:
+                    data["image"] = f.read()
+            outs = transform(data, ops)
         except Exception:
             self.logger.error(
                 "When parsing line {}, error happened with msg: {}".format(

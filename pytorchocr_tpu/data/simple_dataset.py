@@ -37,6 +37,29 @@ class SimpleDataSet:
             self.shuffle_data_random()
         self.ops = create_operators(dataset_config["transforms"], global_config)
 
+        # Opt-in decoded-image cache (dataset.cache_decoded: true): image
+        # decode (cv2.imdecode) is deterministic per path and costs
+        # ~30ms/sample for PNG pages on this host — every epoch re-pays it.
+        # Caching the FIRST op's output (must be DecodeImage) removes that
+        # from the per-epoch reader cost for small benchmark datasets;
+        # bounded by cache_decoded_mb (default 2048).  Augs receive a copy
+        # so in-place mutations can't poison the cache.  With
+        # worker_mode: process each forked worker holds its own cache —
+        # prefer thread workers when enabling this.
+        self.cache_decoded = bool(dataset_config.get("cache_decoded", False))
+        if self.cache_decoded and (
+            not self.ops or type(self.ops[0]).__name__ != "DecodeImage"
+        ):
+            logger.warning(
+                "cache_decoded: first transform is not DecodeImage — disabled"
+            )
+            self.cache_decoded = False
+        self._decode_cache = {}
+        self._decode_cache_bytes = 0
+        self._decode_cache_cap = (
+            int(dataset_config.get("cache_decoded_mb", 2048)) * 2**20
+        )
+
     def get_image_info_list(self, file_list, ratio_list):
         if isinstance(file_list, str):
             file_list = [file_list]
@@ -89,10 +112,31 @@ class SimpleDataSet:
             data = {"img_path": img_path, "label": label}
             if not os.path.exists(img_path):
                 raise FileNotFoundError("{} does not exist!".format(img_path))
-            with open(img_path, "rb") as f:
-                data["image"] = f.read()
+            ops = self.ops
+            if self.cache_decoded:
+                cached = self._decode_cache.get(img_path)
+                if cached is not None:
+                    data["image"] = cached.copy()
+                    ops = self.ops[1:]
+                else:
+                    with open(img_path, "rb") as f:
+                        data["image"] = f.read()
+                    data = transform(data, self.ops[:1])
+                    if data is None:
+                        raise ValueError("decode failed for %s" % img_path)
+                    decoded = data["image"]
+                    if (
+                        self._decode_cache_bytes + decoded.nbytes
+                        <= self._decode_cache_cap
+                    ):
+                        self._decode_cache[img_path] = decoded.copy()
+                        self._decode_cache_bytes += decoded.nbytes
+                    ops = self.ops[1:]
+            else:
+                with open(img_path, "rb") as f:
+                    data["image"] = f.read()
             data["ext_data"] = self.get_ext_data()
-            outs = transform(data, self.ops)
+            outs = transform(data, ops)
         except Exception:
             self.logger.error(
                 "When parsing line {}, error happened with msg: {}".format(

@@ -111,3 +111,52 @@ def test_early_consumer_exit_does_not_hang():
     it = iter(loader)
     next(it)
     del it  # abandon mid-epoch; pool must be cancelled, not drained
+
+
+def test_cache_decoded_identical_outputs_and_hit(tmp_path):
+    """dataset.cache_decoded must be a pure memoization of DecodeImage:
+    identical outputs on repeat access, decode paid once per path."""
+    import numpy as np
+    import cv2
+    from pytorchocr_tpu.data.simple_dataset import SimpleDataSet
+    from pytorchocr_tpu.utils.logging import get_logger
+
+    img = np.random.RandomState(0).randint(0, 255, (32, 48, 3), np.uint8)
+    p = str(tmp_path / "a.png")
+    cv2.imwrite(p, img)
+    label_file = str(tmp_path / "labels.txt")
+    with open(label_file, "w") as f:
+        f.write(f"{p}\tx\n")
+
+    def make(cache):
+        cfg = {
+            "Global": {},
+            "Eval": {
+                "dataset": {
+                    "name": "SimpleDataSet",
+                    "label_file_list": [label_file],
+                    "cache_decoded": cache,
+                    "transforms": [
+                        {"DecodeImage": {"img_mode": "RGB"}},
+                        {"KeepKeys": {"keep_keys": ["image"]}},
+                    ],
+                },
+                "loader": {"shuffle": False, "batch_size_per_card": 1},
+            },
+        }
+        return SimpleDataSet(cfg, "Eval", get_logger())
+
+    ds_plain, ds_cached = make(False), make(True)
+    a = ds_plain[0][0]
+    b1 = ds_cached[0][0]
+    assert len(ds_cached._decode_cache) == 1  # populated on first access
+    b2 = ds_cached[0][0]  # served from cache
+    np.testing.assert_array_equal(a, b1)
+    np.testing.assert_array_equal(b1, b2)
+
+    # cap 0: nothing cached, output still correct
+    ds_cap = make(True)
+    ds_cap._decode_cache_cap = 0
+    c = ds_cap[0][0]
+    np.testing.assert_array_equal(a, c)
+    assert len(ds_cap._decode_cache) == 0
