@@ -113,6 +113,16 @@ def main():
 
     t_start = time.monotonic()
 
+    # stop any of the builder's own registered background training queues:
+    # a concurrent client on the one chip skews the measurement and has
+    # wedged the shared tunneled client before (see utils/bgjobs.py)
+    try:
+        from pytorchocr_tpu.utils import bgjobs
+
+        bgjobs.reap(log=lambda m: print(m, file=sys.stderr, flush=True))
+    except Exception:
+        pass
+
     import jax  # noqa: F401
     import jax.numpy as jnp
 

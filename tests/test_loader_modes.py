@@ -160,3 +160,28 @@ def test_cache_decoded_identical_outputs_and_hit(tmp_path):
     c = ds_cap[0][0]
     np.testing.assert_array_equal(a, c)
     assert len(ds_cap._decode_cache) == 0
+
+
+def test_bgjobs_reap_kills_registered_subtree(tmp_path):
+    """bgjobs.reap must kill the whole registered process subtree by exact
+    pid and clear the registry; unregistered processes are untouched."""
+    import subprocess, time, os
+    from pytorchocr_tpu.utils import bgjobs
+
+    pids_file = str(tmp_path / "bg.pids")
+    # a shell that spawns a child sleep: two-level subtree
+    victim = subprocess.Popen(["bash", "-c", "sleep 60 & wait"])
+    bystander = subprocess.Popen(["sleep", "60"])
+    try:
+        time.sleep(0.3)
+        bgjobs.register(victim.pid, pids_file)
+        killed = bgjobs.reap(pids_file, grace_s=2.0)
+        assert victim.pid in killed
+        assert victim.wait(timeout=5) != 0
+        assert bystander.poll() is None  # untouched
+        assert not os.path.exists(pids_file)
+        assert bgjobs.reap(pids_file) == []  # idempotent
+    finally:
+        bystander.kill()
+        if victim.poll() is None:
+            victim.kill()
