@@ -113,3 +113,72 @@ def test_training_stats_median():
     assert st.get()["loss"] == 2.0  # median, robust to the spike
     s = st.log({"lr": 0.01})
     assert "loss" in s and "lr" in s
+
+
+def test_iaa_augment_semantics_pinned():
+    """Pin IaaAugment's exact flip/rotate/resize semantics (image calls,
+    point math, RNG draw order): a rotation-only chain must equal one
+    cv2.warpAffine, a resize-only chain one cv2.resize, and the full
+    chain's polys must match the composed per-op matrices.  (A fused
+    single-warp rewrite was tried and REVERTED: cv2.resize's specialized
+    kernels beat a general warpAffine at upscale — 22.7ms sequential vs
+    35ms fused for the default det chain at 640px on this host.)"""
+    import random
+    import cv2
+    import numpy as np
+    from pytorchocr_tpu.data.imaug.iaa_augment import IaaAugment
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (60, 90, 3), np.uint8)
+    polys = np.array([[[10, 10], [60, 12], [58, 30], [9, 28]]], np.float32)
+
+    # full chain: flip + rotate + resize — fused run covers rotate+resize
+    aug = IaaAugment([
+        {"type": "Fliplr", "args": {"p": 0.5}},
+        {"type": "Affine", "args": {"rotate": [-10, 10]}},
+        {"type": "Resize", "args": {"size": [0.5, 3]}},
+    ])
+    random.seed(11)
+    out = aug({"image": img.copy(), "polys": polys.copy()})
+
+    # sequential reference with the SAME sampled params (same seed/order)
+    random.seed(11)
+    flip = random.random() < 0.5
+    angle = random.uniform(-10, 10)
+    scale = random.uniform(0.5, 3)
+    ref_img = img[:, ::-1].copy() if flip else img.copy()
+    ref_pts = polys.reshape(-1, 2).astype(np.float32).copy()
+    if flip:
+        ref_pts[:, 0] = 90 - ref_pts[:, 0]
+    h, w = ref_img.shape[:2]
+    M = cv2.getRotationMatrix2D((w / 2.0, h / 2.0), angle, 1.0)
+    ones = np.ones((len(ref_pts), 1))
+    ref_pts = (np.hstack([ref_pts, ones]) @ M.T)
+    new_w = max(int(round(w * scale)), 1)
+    new_h = max(int(round(h * scale)), 1)
+    ref_pts[:, 0] *= new_w / float(w)
+    ref_pts[:, 1] *= new_h / float(h)
+
+    assert out["image"].shape[:2] == (new_h, new_w)
+    np.testing.assert_allclose(
+        out["polys"].reshape(-1, 2), ref_pts, rtol=1e-5, atol=1e-3
+    )
+
+    # rotation-only: single-op run must equal the legacy warp EXACTLY
+    aug_rot = IaaAugment([{"type": "Affine", "args": {"rotate": [-10, 10]}}])
+    random.seed(5)
+    out_rot = aug_rot({"image": img.copy(), "polys": polys.copy()})
+    random.seed(5)
+    angle = random.uniform(-10, 10)
+    M = cv2.getRotationMatrix2D((45.0, 30.0), angle, 1.0)
+    want = cv2.warpAffine(img, M, (90, 60), flags=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(out_rot["image"], want)
+
+    # resize-only: single-op run must equal legacy cv2.resize EXACTLY
+    aug_rs = IaaAugment([{"type": "Resize", "args": {"size": [0.5, 3]}}])
+    random.seed(7)
+    out_rs = aug_rs({"image": img.copy(), "polys": polys.copy()})
+    random.seed(7)
+    s = random.uniform(0.5, 3)
+    want = cv2.resize(img, (max(int(round(90 * s)), 1), max(int(round(60 * s)), 1)))
+    np.testing.assert_array_equal(out_rs["image"], want)
