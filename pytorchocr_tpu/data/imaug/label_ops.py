@@ -349,11 +349,15 @@ class TableBoxEncode:
 
     @staticmethod
     def xyxyxyxy2xywh(bboxes):
+        # per-box extent; the reference (label_ops.py:502-508) reduces over
+        # the WHOLE array (missing axis=1), collapsing every box to one
+        # global rectangle — a latent bug, fixed here like det_swin's
+        # shadowed-out bug
         new_bboxes = np.zeros([len(bboxes), 4])
-        new_bboxes[:, 0] = bboxes[:, 0::2].min()
-        new_bboxes[:, 1] = bboxes[:, 1::2].min()
-        new_bboxes[:, 2] = bboxes[:, 0::2].max() - new_bboxes[:, 0]
-        new_bboxes[:, 3] = bboxes[:, 1::2].max() - new_bboxes[:, 1]
+        new_bboxes[:, 0] = bboxes[:, 0::2].min(axis=1)
+        new_bboxes[:, 1] = bboxes[:, 1::2].min(axis=1)
+        new_bboxes[:, 2] = bboxes[:, 0::2].max(axis=1) - new_bboxes[:, 0]
+        new_bboxes[:, 3] = bboxes[:, 1::2].max(axis=1) - new_bboxes[:, 1]
         return new_bboxes
 
     @staticmethod

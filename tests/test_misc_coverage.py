@@ -261,3 +261,30 @@ def test_checkpoint_save_staged_swap_and_old_fallback(tmp_path):
     restored, gs = load_model(cfg, state)
     assert float(restored.params["w"][0, 0]) == 2.0
     assert gs["global_step"] == 40
+
+
+def test_table_box_encode_formats():
+    """TableBoxEncode format conversions are per-box (the reference's
+    xyxyxyxy->xywh reduces over the whole array — label_ops.py:502-508 —
+    collapsing every box to one rectangle; fixed here) and normalize to
+    the resized image."""
+    from pytorchocr_tpu.data.imaug.label_ops import TableBoxEncode
+
+    # two distinct quads
+    quads = np.array([
+        [0, 0, 10, 0, 10, 4, 0, 4],
+        [20, 10, 40, 10, 40, 30, 20, 30],
+    ], np.float32)
+    shape = np.array([100, 100, 1.0, 1.0, 100, 100], np.float32)
+    op = TableBoxEncode(in_box_format="xyxyxyxy", out_box_format="xywh")
+    out = op({"shape": shape, "bboxes": quads.copy()})["bboxes"]
+    np.testing.assert_allclose(out[0] * 100, [0, 0, 10, 4], atol=1e-5)
+    np.testing.assert_allclose(out[1] * 100, [20, 10, 20, 20], atol=1e-5)
+
+    # xyxy -> xywh is center-format, scaled by resize ratios
+    boxes = np.array([[10, 20, 30, 60]], np.float32)
+    shape = np.array([100, 100, 0.5, 2.0, 50, 200], np.float32)
+    op = TableBoxEncode(in_box_format="xyxy", out_box_format="xywh")
+    out = op({"shape": shape, "bboxes": boxes.copy()})["bboxes"]
+    # cx=20,cy=40,w=20,h=40 -> *ratio(w=2,h=.5) -> /dst(200,50)
+    np.testing.assert_allclose(out[0], [40/200, 20/50, 40/200, 20/50], atol=1e-5)
