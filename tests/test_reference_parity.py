@@ -145,3 +145,40 @@ def test_rec_resize_norm_parity(ref):
             ours = resize_norm_img(img, shape)
             ours_chw = ours.transpose(2, 0, 1) if ours.ndim == 3 else ours
             np.testing.assert_allclose(ours_chw, theirs, atol=1e-6)
+
+
+def test_table_label_encode_parity(ref):
+    from pytorchocr_tpu.data.imaug.label_ops import TableLabelEncode
+
+    dict_path = "pytorchocr_tpu/utils/table_structure_dict_ch.txt"
+    kwargs = dict(max_text_length=100, character_dict_path=dict_path,
+                  replace_empty_cell_token=False,
+                  merge_no_span_structure=False, learn_empty_box=False,
+                  loc_reg_num=4)
+    theirs_op = ref["label_ops"].TableLabelEncode(**kwargs)
+    ours_op = TableLabelEncode(**kwargs)
+    assert list(theirs_op.character) == list(ours_op.character)
+
+    structure = ["<tr>", "<td>", "</td>", "<td", " colspan=\"2\"", ">",
+                 "</td>", "</tr>", "<tr>", "<td>", "</td>", "<td>", "</td>",
+                 "<td>", "</td>", "</tr>"]
+    cells = [
+        {"tokens": ["a"], "bbox": [1, 2, 30, 12]},
+        {"tokens": ["b"], "bbox": [31, 2, 90, 12]},
+        {"tokens": ["c"], "bbox": [1, 13, 30, 24]},
+        {"tokens": []},  # empty cell, no bbox
+        {"tokens": ["e"], "bbox": [61, 13, 90, 24]},
+    ]
+    data = {"structure": list(structure),
+            "cells": [dict(c) for c in cells],
+            "image": _img(32, 96)}
+    theirs = theirs_op({"structure": list(structure),
+                        "cells": [dict(c) for c in cells],
+                        "image": _img(32, 96)})
+    ours = ours_op(data)
+    if theirs is None or ours is None:
+        assert theirs is None and ours is None
+        return
+    np.testing.assert_array_equal(ours["structure"], theirs["structure"])
+    np.testing.assert_allclose(ours["bboxes"], theirs["bboxes"])
+    np.testing.assert_array_equal(ours["bbox_masks"], theirs["bbox_masks"])
