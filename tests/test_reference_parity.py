@@ -57,6 +57,17 @@ def ref():
     pkg.__path__ = [os.path.join(REF, "pytocr", "data", "imaug")]
     sys.modules["refimaug"] = pkg
 
+    # postprocess module loaded flat (it has no relative imports)
+    import importlib.util as ilu
+
+    spec = ilu.spec_from_file_location(
+        "refimaug_post", os.path.join(REF, "pytocr", "postprocess",
+                                      "rec_postprocess.py")
+    )
+    post = ilu.module_from_spec(spec)
+    sys.modules["refimaug_post"] = post
+    spec.loader.exec_module(post)
+
     mods = {}
     for name in ("label_ops", "operators", "rec_img_aug"):
         mods[name] = importlib.import_module("refimaug." + name)
@@ -182,3 +193,38 @@ def test_table_label_encode_parity(ref):
     np.testing.assert_array_equal(ours["structure"], theirs["structure"])
     np.testing.assert_allclose(ours["bboxes"], theirs["bboxes"])
     np.testing.assert_array_equal(ours["bbox_masks"], theirs["bbox_masks"])
+
+
+def test_ctc_label_decode_parity(ref):
+    """CTC greedy decode dedup/blank semantics vs the reference, numpy
+    path (N,T,C) on both sides, with the 36-char default and explicit
+    dict; includes repeated chars separated by blanks."""
+    import importlib
+
+    mod = importlib.import_module("refimaug_post")
+    from pytorchocr_tpu.postprocess.rec_postprocess import CTCLabelDecode
+
+    theirs_op = mod.CTCLabelDecode()
+    ours_op = CTCLabelDecode()
+    assert list(theirs_op.character) == list(ours_op.character)
+
+    n_class = len(ours_op.character)
+    rng = np.random.RandomState(0)
+    # build logits that decode "aa" (via blank separation), "b", ""
+    T = 8
+    preds = rng.rand(3, T, n_class).astype(np.float32) * 0.1
+    a, b = 11, 12  # some char indices
+    seqs = [[a, a, 0, a, a, 0, 0, 0], [0, b, b, b, 0, 0, 0, 0], [0] * T]
+    for i, seq in enumerate(seqs):
+        for t, c in enumerate(seq):
+            preds[i, t, c] = 5.0
+    theirs = mod.CTCLabelDecode()(preds.copy())
+    ours = ours_op(preds.copy())
+    assert [t[0] for t in ours] == [t[0] for t in theirs]
+    for (txt, conf), (_, ref_conf) in zip(ours, theirs):
+        if txt:
+            np.testing.assert_allclose(conf, ref_conf, rtol=1e-5)
+        else:
+            # all-blank line: the reference means an empty list -> NaN
+            # confidence; this repo returns 0.0 (deliberate fix)
+            assert conf == 0.0 and np.isnan(ref_conf)
