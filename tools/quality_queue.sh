@@ -19,6 +19,8 @@ declare -A CFG=(
   [dbpp]=configs/det/det_r18_dbpp_synth.yml
   [table]=configs/table/table_sla_synth.yml
   [cml]=configs/det/distillation/det_cml_db_synth.yml
+  [mbv3]=configs/det/det_mbv3large05_db_synth.yml
+  [starnet]=configs/rec/rec_vgg_tps_bilstm_ctc_synth.yml
 )
 declare -A OUT=(
   [db]=./output/quality/det_r18_db_synth
@@ -29,6 +31,8 @@ declare -A OUT=(
   [dbpp]=./output/quality/det_r18_dbpp_synth
   [table]=./output/quality/table_sla_synth
   [cml]=./output/quality/det_cml_db_synth
+  [mbv3]=./output/quality/det_mbv3large05_db_synth
+  [starnet]=./output/quality/rec_starnet_synth
 )
 
 run_one() {
