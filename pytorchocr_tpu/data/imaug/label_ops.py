@@ -4,6 +4,7 @@ import json
 
 import numpy as np
 
+from pytorchocr_tpu.utils.assets import resolve_dict_path
 from pytorchocr_tpu.utils.logging import get_logger
 
 
@@ -77,7 +78,7 @@ class BaseRecLabelEncode:
             self.lower = True
         else:
             self.character_str = ""
-            with open(character_dict_path, "rb") as fin:
+            with open(resolve_dict_path(character_dict_path), "rb") as fin:
                 for line in fin.readlines():
                     line = line.decode("UTF-8").strip("\n").strip("\r\n")
                     self.character_str += line
@@ -200,7 +201,7 @@ class TableLabelEncode(AttnLabelEncode):
         self.end_str = "eos"
 
         dict_character = []
-        with open(character_dict_path, "rb") as fin:
+        with open(resolve_dict_path(character_dict_path), "rb") as fin:
             for line in fin.readlines():
                 line = line.decode("UTF-8").strip("\n").strip("\r\n")
                 dict_character.append(line)

@@ -7,6 +7,8 @@ not the (N, T, 6624) probability tensor.
 
 import numpy as np
 
+from pytorchocr_tpu.utils.assets import resolve_dict_path
+
 
 class BaseRecLabelDecode:
     """text-index -> text-label conversion base."""
@@ -20,7 +22,7 @@ class BaseRecLabelDecode:
             self.character_str = "0123456789abcdefghijklmnopqrstuvwxyz"
             dict_character = list(self.character_str)
         else:
-            with open(character_dict_path, "rb") as fin:
+            with open(resolve_dict_path(character_dict_path), "rb") as fin:
                 for line in fin.readlines():
                     line = line.decode("UTF-8").strip("\n").strip("\r\n")
                     self.character_str.append(line)

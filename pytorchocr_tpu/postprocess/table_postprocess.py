@@ -2,13 +2,15 @@
 
 import numpy as np
 
+from pytorchocr_tpu.utils.assets import resolve_dict_path
+
 from .rec_postprocess import AttnLabelDecode
 
 
 class TableLabelDecode(AttnLabelDecode):
     def __init__(self, character_dict_path, merge_no_span_structure=False, **kwargs):
         dict_character = []
-        with open(character_dict_path, "rb") as fin:
+        with open(resolve_dict_path(character_dict_path), "rb") as fin:
             for line in fin.readlines():
                 line = line.decode("UTF-8").strip("\n").strip("\r\n")
                 dict_character.append(line)

@@ -107,6 +107,16 @@ class ArgsParser(argparse.ArgumentParser):
         self.add_argument(
             "-o", "--opt", nargs="+", help="set configuration options"
         )
+        # accepted for launcher compatibility (the reference is launched via
+        # torch.distributed.launch which injects it — reference
+        # tools/program.py:26); on TPU the process/device topology comes
+        # from jax.distributed, so the value is ignored.
+        self.add_argument(
+            "--local_rank",
+            type=int,
+            default=0,
+            help="ignored; accepted for torch.distributed.launch compatibility",
+        )
 
     def parse_args(self, argv=None):
         args = super().parse_args(argv)
