@@ -34,11 +34,34 @@ def build_infer_model(config, dtype=jnp.bfloat16):
     return build_model(config["Architecture"], dtype=dtype)
 
 
+def _dp_mesh():
+    """1-D ("data",) mesh over all local devices, or None on one device.
+
+    Serving scale-out: the reference serves one GPU per process (TRT engine
+    bound to a device, deploy/common.py); here a single process drives every
+    local TPU chip by sharding the batch axis — XLA splits the work, no
+    collectives are needed in a pure forward.  Disable with
+    OCR_TPU_DEPLOY_DP=0 (e.g. to pin a chip per process instead).
+    """
+    if os.environ.get("OCR_TPU_DEPLOY_DP", "1") == "0":
+        return None
+    devices = jax.local_devices()
+    if len(devices) < 2:
+        return None
+    from jax.sharding import Mesh
+
+    return Mesh(np.array(devices), ("data",))
+
+
 class JitRunner:
     """Per-shape-cached jitted forward with optional fused normalization.
 
     mean/std are folded into the graph so the host passes raw uint8/float
     HWC images (the device does /255, -mean, /std — a few fused VPU ops).
+
+    On hosts with multiple accelerator chips the batch axis is sharded over
+    a ("data",) mesh automatically (see _dp_mesh); batches are padded to a
+    device-count multiple and results sliced back.
     """
 
     def __init__(
@@ -64,9 +87,19 @@ class JitRunner:
         from pytorchocr_tpu.ops import quant as quant_ops
 
         self._forward = forward
+        self.mesh = _dp_mesh()
+        jit_kwargs = {}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicated = NamedSharding(self.mesh, PartitionSpec())
+            batched = NamedSharding(self.mesh, PartitionSpec("data"))
+            jit_kwargs = dict(
+                in_shardings=(replicated, batched), out_shardings=batched
+            )
         # mode-aware jit: the quantization mode is part of the cache key, so
         # float and int8 traces can never be confused (ops/quant.py:quant_jit)
-        self._jitted = quant_ops.quant_jit(forward)
+        self._jitted = quant_ops.quant_jit(forward, **jit_kwargs)
 
     def _normalize(self, images):
         x = jnp.asarray(images).astype(jnp.float32)
@@ -85,14 +118,26 @@ class JitRunner:
         self.quant = True
 
     def __call__(self, images):
+        images = jnp.asarray(images)
+        n = images.shape[0]
+        if self.mesh is not None:
+            pad = (-n) % self.mesh.size
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.repeat(images[:1], pad, axis=0)], axis=0
+                )
         if self.quant:
             from pytorchocr_tpu.ops import quant as quant_ops
 
             if "quant" not in self.variables:
                 raise ValueError("quant=True requires calibrate() first")
             with quant_ops.quantized("int8"):
-                return self._jitted(self.variables, jnp.asarray(images))
-        return self._jitted(self.variables, jnp.asarray(images))
+                out = self._jitted(self.variables, images)
+        else:
+            out = self._jitted(self.variables, images)
+        if self.mesh is not None and images.shape[0] != n:
+            out = jax.tree.map(lambda a: a[:n], out)
+        return out
 
 
 def padded_pow2_batch(arrays, combine=np.stack):

@@ -210,3 +210,45 @@ def test_padded_pow2_batch():
     arrs_b = [np.full((1, 3), i, np.float32) for i in range(5)]
     batch, n = padded_pow2_batch(arrs_b, combine=np.concatenate)
     assert batch.shape == (8, 3) and n == 5
+
+
+def test_jitrunner_data_parallel_serving(monkeypatch):
+    """On a multi-device host JitRunner shards the batch over a ("data",)
+    mesh (deploy/common.py:_dp_mesh): outputs must match the single-device
+    runner bit-for-bit in f32, the input must actually be laid out across
+    all 8 virtual devices, and non-divisible batches must pad+slice."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from common import JitRunner
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(4, (3, 3), dtype=jnp.float32)(x)
+            return {"maps": nn.Conv(1, (1, 1), dtype=jnp.float32)(x)}
+
+    model = Tiny()
+    x8 = np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)
+    variables = jax.device_get(model.init(jax.random.PRNGKey(0), x8[:1]))
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+    dp = JitRunner(model, dict(variables), mean=[0.5] * 3, std=[0.25] * 3)
+    assert dp.mesh is not None and dp.mesh.size == 8
+
+    monkeypatch.setenv("OCR_TPU_DEPLOY_DP", "0")
+    single = JitRunner(model, dict(variables), mean=[0.5] * 3, std=[0.25] * 3)
+    assert single.mesh is None
+
+    out_dp = dp(x8)["maps"]
+    # the jitted call must actually distribute the batch over all devices
+    assert len({s.device for s in out_dp.addressable_shards}) == 8
+    np.testing.assert_array_equal(
+        np.asarray(out_dp), np.asarray(single(x8)["maps"])
+    )
+
+    # batch of 3 on 8 devices: padded to 8 inside, sliced back to 3
+    out3 = dp(x8[:3])["maps"]
+    assert out3.shape[0] == 3
+    np.testing.assert_array_equal(
+        np.asarray(out3), np.asarray(single(x8[:3])["maps"])
+    )
