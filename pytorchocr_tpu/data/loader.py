@@ -161,17 +161,27 @@ class OCRDataLoader:
                 return pool.submit(_proc_load_batch, chunk, task_seed & 0x7FFFFFFF)
             return pool.submit(self._load_batch, chunk)
 
+        def _put_or_abandon(item):
+            """Blocking put that gives up once the consumer has left."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
-            if use_proc:
-                pool = ProcessPoolExecutor(
-                    max_workers=self.num_workers,
-                    mp_context=multiprocessing.get_context("fork"),
-                    initializer=_proc_init,
-                    initargs=(self.dataset, self.collate_fn),
-                )
-            else:
-                pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            pool = None
             try:
+                if use_proc:
+                    pool = ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        mp_context=multiprocessing.get_context("fork"),
+                        initializer=_proc_init,
+                        initargs=(self.dataset, self.collate_fn),
+                    )
+                else:
+                    pool = ThreadPoolExecutor(max_workers=self.num_workers)
                 futures = []
                 for batch_idx, chunk in enumerate(batches):
                     if stop.is_set():
@@ -185,11 +195,19 @@ class OCRDataLoader:
                 for f in futures:
                     if self._emit(out_q, stop, f):
                         return
+            except BaseException as e:  # noqa: BLE001 — pool creation or
+                # submit() itself can raise (e.g. BrokenProcessPool after a
+                # worker was OOM-killed); without forwarding, the exception
+                # would die with this thread and the consumer would block on
+                # out_q.get() forever.
+                _put_or_abandon(e)
             finally:
-                # cancel_futures: don't force a full drain when the consumer
-                # abandoned the epoch early (KeyboardInterrupt, eval gating).
-                pool.shutdown(wait=False, cancel_futures=True)
-            out_q.put(None)
+                if pool is not None:
+                    # cancel_futures: don't force a full drain when the
+                    # consumer abandoned the epoch early (KeyboardInterrupt,
+                    # eval gating).
+                    pool.shutdown(wait=False, cancel_futures=True)
+                _put_or_abandon(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

@@ -162,6 +162,33 @@ def test_cache_decoded_identical_outputs_and_hit(tmp_path):
     assert len(ds_cap._decode_cache) == 0
 
 
+def test_broken_pool_surfaces_instead_of_hanging(monkeypatch):
+    """If submit() itself raises (BrokenProcessPool after an OOM-killed
+    worker), the error must reach the consumer — not die with the producer
+    thread and leave the consumer blocked on the queue forever."""
+    import concurrent.futures as cf
+
+    from pytorchocr_tpu.data import loader as loader_mod
+
+    class _BrokenPool:
+        def __init__(self, *a, **k):
+            pass
+
+        def submit(self, *a, **k):
+            raise cf.process.BrokenProcessPool("worker died")
+
+        def shutdown(self, *a, **k):
+            pass
+
+    monkeypatch.setattr(loader_mod, "ThreadPoolExecutor", _BrokenPool)
+    loader = OCRDataLoader(
+        _SquareDataset(), batch_size=4, shuffle=False, num_workers=2,
+        worker_mode="thread",
+    )
+    with pytest.raises(cf.process.BrokenProcessPool, match="worker died"):
+        _collect(loader)
+
+
 def test_bgjobs_reap_kills_registered_subtree(tmp_path):
     """bgjobs.reap must kill the whole registered process subtree by exact
     pid and clear the registry; unregistered processes are untouched."""
