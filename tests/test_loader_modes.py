@@ -200,11 +200,29 @@ def test_bgjobs_reap_kills_registered_subtree(tmp_path):
     victim = subprocess.Popen(["bash", "-c", "sleep 60 & wait"])
     bystander = subprocess.Popen(["sleep", "60"])
     try:
-        time.sleep(0.3)
+        # wait until bash has actually forked the sleep child (under CPU
+        # contention a fixed 0.3s was not always enough)
+        deadline = time.time() + 20
+        subtree = bgjobs._subtree(victim.pid)
+        while len(subtree) < 2 and time.time() < deadline:
+            time.sleep(0.1)
+            subtree = bgjobs._subtree(victim.pid)
+        assert len(subtree) >= 2, subtree  # [sleep_pid, bash_pid]
+
         bgjobs.register(victim.pid, pids_file)
         killed = bgjobs.reap(pids_file, grace_s=2.0)
         assert victim.pid in killed
-        assert victim.wait(timeout=5) != 0
+        # the victim must DIE promptly; its exit status is irrelevant (bash
+        # reports -15/143, or 0 when it reaped the killed job before its
+        # `wait` builtin recorded a status — observed under heavy load)
+        victim.wait(timeout=10)
+        # the grandchild must be gone too (possibly after init reaps the
+        # reparented zombie)
+        sleep_pids = [p for p in subtree if p != victim.pid]
+        deadline = time.time() + 10
+        while any(bgjobs._alive(p) for p in sleep_pids) and time.time() < deadline:
+            time.sleep(0.1)
+        assert not any(bgjobs._alive(p) for p in sleep_pids)
         assert bystander.poll() is None  # untouched
         assert not os.path.exists(pids_file)
         assert bgjobs.reap(pids_file) == []  # idempotent
