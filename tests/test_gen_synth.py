@@ -12,12 +12,12 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 GEN_DIR = os.path.join(REPO, "tools", "data")
 
 
-def _run_gen(script, out, n_train=3, n_eval=2, seed=7):
+def _run_gen(script, out, n_train=3, n_eval=2, seed=7, extra=()):
     subprocess.run(
         [
             sys.executable, os.path.join(GEN_DIR, script),
             "--out", str(out), "--train", str(n_train), "--eval", str(n_eval),
-            "--seed", str(seed),
+            "--seed", str(seed), *extra,
         ],
         cwd=GEN_DIR, check=True, capture_output=True, text=True, timeout=300,
     )
@@ -62,6 +62,28 @@ def test_gen_synth_det_deterministic(tmp_path):
         assert all("transcription" in b for b in boxes)
 
     _check_generator("gen_synth_det.py", tmp_path, check)
+
+
+def test_gen_synth_det_shifted_style_differs_and_is_deterministic(tmp_path):
+    """--style shifted must be (a) seeded-deterministic like base and
+    (b) an actually different rendering distribution for the same seed."""
+    a, b, base = tmp_path / "a", tmp_path / "b", tmp_path / "base"
+    _run_gen("gen_synth_det.py", a, extra=("--style", "shifted"))
+    _run_gen("gen_synth_det.py", b, extra=("--style", "shifted"))
+    _run_gen("gen_synth_det.py", base)
+    assert _tree_digest(a) == _tree_digest(b)
+    assert _tree_digest(a) != _tree_digest(base)
+    # shifted pages are mid-gray (bg 150-195), base pages near-white
+    import numpy as np
+    from PIL import Image
+
+    shifted_img = np.asarray(
+        Image.open(os.path.join(a, "train", "train_00000.png")).convert("L")
+    )
+    base_img = np.asarray(
+        Image.open(os.path.join(base, "train", "train_00000.png")).convert("L")
+    )
+    assert np.median(shifted_img) < 210 < np.median(base_img)
 
 
 def test_gen_synth_rec_deterministic(tmp_path):

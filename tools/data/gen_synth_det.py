@@ -34,13 +34,43 @@ FONT_CANDIDATES = [
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
 ]
 
+# fonts NEVER used by the base style — the shifted style renders with these
+# so a shift eval measures robustness to unseen glyph shapes, not memorized
+# rasterizations
+SHIFT_FONT_CANDIDATES = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
+]
 
-def _fonts():
-    found = [p for p in FONT_CANDIDATES if os.path.exists(p)]
+# Style parameters. "base" is the training distribution (QUALITY.md);
+# "shifted" is a deliberately different rendering regime for
+# distribution-shift evaluation: unseen fonts, mid-gray (lower-contrast)
+# backgrounds with stronger illumination/noise, a wider glyph-size and
+# rotation range, denser/sparser pages and more clutter.  Same task, same
+# label format — only the rendering distribution moves.
+STYLES = {
+    "base": dict(
+        bg_lo=215, bg_hi=245, grad=18.0, noise=4.0,
+        ink_lo=10, ink_hi=90, px_lo=14, px_hi=34, angle=8.0,
+        min_lines=6, max_lines=14, distract_lo=1, distract_hi=4,
+        blur_p=0.3, blur_r=0.6,
+    ),
+    "shifted": dict(
+        bg_lo=150, bg_hi=195, grad=30.0, noise=8.0,
+        ink_lo=5, ink_hi=70, px_lo=12, px_hi=40, angle=15.0,
+        min_lines=4, max_lines=18, distract_lo=2, distract_hi=6,
+        blur_p=0.5, blur_r=1.0,
+    ),
+}
+
+
+def _fonts(style="base"):
+    cands = SHIFT_FONT_CANDIDATES if style == "shifted" else FONT_CANDIDATES
+    found = [p for p in cands if os.path.exists(p)]
     if not found:
         raise RuntimeError(
-            "no TTF fonts found in %s; install fonts or edit FONT_CANDIDATES"
-            % FONT_CANDIDATES
+            "no TTF fonts found in %s; install fonts or edit the candidate "
+            "list" % cands
         )
     return found
 
@@ -51,25 +81,25 @@ def _rand_word(rng, lo=3, hi=12):
     return "".join(rng.choice(chars) for _ in range(n))
 
 
-def _textured_background(rng, size):
+def _textured_background(rng, size, style):
     """Paper-like background: base tint + low-frequency blotches + noise."""
-    base = rng.randint(215, 245)
+    base = rng.randint(style["bg_lo"], style["bg_hi"])
     arr = np.full((size, size, 3), base, np.uint8)
     nprng = np.random.RandomState(rng.randint(0, 1 << 31))
     # low-frequency illumination gradient
-    gx = nprng.uniform(-18, 18)
-    gy = nprng.uniform(-18, 18)
+    gx = nprng.uniform(-style["grad"], style["grad"])
+    gy = nprng.uniform(-style["grad"], style["grad"])
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     grad = (gx * xx + gy * yy)[:, :, None]
-    noise = nprng.normal(0, 4, (size, size, 1))
+    noise = nprng.normal(0, style["noise"], (size, size, 1))
     arr = np.clip(arr.astype(np.float32) + grad + noise, 0, 255).astype(np.uint8)
     return Image.fromarray(arr)
 
 
-def _draw_distractors(img, draw, rng):
+def _draw_distractors(img, draw, rng, style):
     """Non-text clutter the detector must NOT fire on: rules, frames, blobs."""
     size = img.size[0]
-    for _ in range(rng.randint(1, 4)):
+    for _ in range(rng.randint(style["distract_lo"], style["distract_hi"])):
         kind = rng.choice(["hline", "vline", "frame", "blob"])
         g = rng.randint(120, 190)
         if kind == "hline":
@@ -93,10 +123,10 @@ def _draw_distractors(img, draw, rng):
             draw.ellipse([x, y, x + r, y + r], fill=(g, g, g))
 
 
-def _render_line(rng, fonts):
+def _render_line(rng, fonts, style):
     """One rotated text-line tile + its tight quad (local coords)."""
     text = " ".join(_rand_word(rng) for _ in range(rng.randint(1, 3)))
-    px = rng.randint(14, 34)
+    px = rng.randint(style["px_lo"], style["px_hi"])
     font = ImageFont.truetype(rng.choice(fonts), px)
     # measure
     tmp = Image.new("L", (1, 1))
@@ -106,11 +136,11 @@ def _render_line(rng, fonts):
         return None
     pad = 4
     tile = Image.new("RGBA", (tw + 2 * pad, th + 2 * pad), (0, 0, 0, 0))
-    ink = rng.randint(10, 90)
+    ink = rng.randint(style["ink_lo"], style["ink_hi"])
     ImageDraw.Draw(tile).text(
         (pad - bbox[0], pad - bbox[1]), text, font=font, fill=(ink, ink, ink, 255)
     )
-    angle = rng.uniform(-8, 8)
+    angle = rng.uniform(-style["angle"], style["angle"])
     tile = tile.rotate(angle, expand=True, resample=Image.BICUBIC)
     # tight quad = rotated rectangle corners of the unpadded text box
     cx, cy = tile.size[0] / 2, tile.size[1] / 2
@@ -123,18 +153,19 @@ def _render_line(rng, fonts):
     return text, tile, quad
 
 
-def render_page(rng, size, fonts, min_lines=6, max_lines=14):
-    img = _textured_background(rng, size)
+def render_page(rng, size, fonts, style=None):
+    style = style or STYLES["base"]
+    img = _textured_background(rng, size, style)
     draw = ImageDraw.Draw(img)
-    _draw_distractors(img, draw, rng)
+    _draw_distractors(img, draw, rng, style)
 
     boxes = []
     occupied = np.zeros((size, size), bool)
     attempts = 0
-    want = rng.randint(min_lines, max_lines)
+    want = rng.randint(style["min_lines"], style["max_lines"])
     while len(boxes) < want and attempts < want * 12:
         attempts += 1
-        r = _render_line(rng, fonts)
+        r = _render_line(rng, fonts, style)
         if r is None:
             continue
         text, tile, quad = r
@@ -153,17 +184,17 @@ def render_page(rng, size, fonts, min_lines=6, max_lines=14):
         pts = [[int(round(px_ + x)), int(round(py_ + y))] for px_, py_ in quad]
         boxes.append({"transcription": text, "points": pts})
     # mild global blur ~ scanner softness
-    if rng.random() < 0.3:
-        img = img.filter(ImageFilter.GaussianBlur(0.6))
+    if rng.random() < style["blur_p"]:
+        img = img.filter(ImageFilter.GaussianBlur(style["blur_r"]))
     return img.convert("RGB"), boxes
 
 
-def generate(out_dir, n, size, rng, fonts, split):
+def generate(out_dir, n, size, rng, fonts, split, style=None):
     img_dir = os.path.join(out_dir, split)
     os.makedirs(img_dir, exist_ok=True)
     lines = []
     for i in range(n):
-        img, boxes = render_page(rng, size, fonts)
+        img, boxes = render_page(rng, size, fonts, style)
         path = os.path.abspath(os.path.join(img_dir, "%s_%05d.png" % (split, i)))
         img.save(path)
         lines.append("%s\t%s" % (path, json.dumps(boxes)))
@@ -182,13 +213,20 @@ def main():
     ap.add_argument("--eval", type=int, default=100)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument(
+        "--style", choices=sorted(STYLES), default="base",
+        help="rendering distribution: base (training benchmark) or shifted "
+        "(unseen fonts, lower-contrast mid-gray pages, wider glyph-size/"
+        "rotation range) for distribution-shift evaluation",
+    )
     args = ap.parse_args()
 
-    fonts = _fonts()
+    style = STYLES[args.style]
+    fonts = _fonts(args.style)
     rng = random.Random(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    train_label = generate(args.out, args.train, args.size, rng, fonts, "train")
-    eval_label = generate(args.out, args.eval, args.size, rng, fonts, "eval")
+    train_label = generate(args.out, args.train, args.size, rng, fonts, "train", style)
+    eval_label = generate(args.out, args.eval, args.size, rng, fonts, "eval", style)
     print(json.dumps({"train_label": train_label, "eval_label": eval_label}))
 
 

@@ -739,10 +739,7 @@ def evaluate(
         # intermediate jnp.asarray would stage a second full transfer)
         images = shard_or_replicate(np.asarray(batch_np[0]), mesh)
         start = time.time()
-        if model_type == "table":
-            preds = eval_step(state.params, state.batch_stats, images)
-        else:
-            preds = eval_step(state.params, state.batch_stats, images)
+        preds = eval_step(state.params, state.batch_stats, images)
         jax.block_until_ready(preds)
         total_time += time.time() - start
         if model_type == "table":
