@@ -167,18 +167,23 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
     )
 
 
-def make_multi_train_step(model, loss_fn, tx, mesh, donate=True):
+def make_multi_train_step(model, loss_fn, tx, mesh, donate=True,
+                          input_transform=None):
     """Train step over STACKED batches: batch leaves have a leading
     `steps` axis and the step runs as one on-device lax.scan.
 
     Amortizes per-dispatch overhead — essential when the host reaches the
     TPU through a proxy/tunnel that round-trips buffers per call, and good
     practice on real pods too (fewer dispatches, better pipelining).
+    input_transform must match make_train_step's (Global.device_normalize
+    applies to EVERY step of the scan, same as the per-step path).
     Returns (new_state, losses_of_last_step).
     """
 
     def one_step(state, batch):
         images = batch[0]
+        if input_transform is not None:
+            images = input_transform(images)
 
         def loss_inner(params):
             variables = {"params": params}

@@ -85,3 +85,71 @@ def test_multi_step_matches_single_steps():
     np.testing.assert_allclose(
         np.asarray(losses_a["loss"]), np.asarray(losses_c["loss"]), rtol=5e-3
     )
+
+
+def test_multi_step_applies_input_transform():
+    """Global.device_normalize + steps_per_dispatch>1: the stacked path
+    must apply the same on-device normalize as the per-step path did
+    (regression: make_multi_train_step used to silently drop it, feeding
+    raw uint8 to the model)."""
+    from pytorchocr_tpu.trainer import build_input_transform
+
+    spec = [
+        {"op": "ToTensor", "params": {}},
+        {"op": "Normalize", "params": {"mean": [0.5], "std": [0.5]}},
+    ]
+    transform = build_input_transform(spec)
+
+    rng = np.random.RandomState(1)
+    n = 8
+    batches = []
+    for s in range(2):
+        images = rng.randint(0, 255, (n, 32, 64, 1)).astype(np.uint8)
+        labels = np.zeros((n, 25), np.int64)
+        labels[:, :3] = rng.randint(1, 30, (n, 3))
+        lengths = np.full((n,), 3, np.int64)
+        batches.append((images, labels, lengths))
+
+    model = build_model(
+        {
+            "model_type": "rec",
+            "algorithm": "CRNN",
+            "in_channels": 1,
+            "Transform": None,
+            "Backbone": {"name": "VGG", "model_name": "v1", "scale": 0.5},
+            "Neck": {"name": "SequenceEncoder", "encoder_type": "reshape"},
+            "Head": {"name": "CTCHead", "out_channels": 37},
+        }
+    )
+    loss_fn = build_loss({"name": "CTCLoss"})
+    tx, _ = build_optimizer(
+        {"base_lr": 1e-2, "optim": {"name": "SGD", "momentum": 0.9}},
+        epochs=1, step_each_epoch=1,
+    )
+    mesh = create_mesh()
+    step = make_train_step(model, loss_fn, tx, mesh, donate=False,
+                           input_transform=transform)
+    multi = make_multi_train_step(model, loss_fn, tx, mesh, donate=False,
+                                  input_transform=transform)
+
+    state_a = create_train_state(model, tx, jax.random.PRNGKey(0), batches[0],
+                                 input_transform=transform)
+    for b in batches:
+        dbi = tuple(shard_batch(jnp.asarray(x), mesh) for x in b)
+        state_a, losses_a = step(state_a, dbi)
+
+    state_b = create_train_state(model, tx, jax.random.PRNGKey(0), batches[0],
+                                 input_transform=transform)
+    stacked = tuple(jnp.asarray(x) for x in stack_batches(batches))
+    state_b, losses_b = multi(state_b, stacked)
+    np.testing.assert_allclose(
+        np.asarray(losses_a["loss"]), np.asarray(losses_b["loss"]), rtol=5e-3
+    )
+    # and the normalize really ran: an un-normalized twin diverges
+    multi_raw = make_multi_train_step(model, loss_fn, tx, mesh, donate=False)
+    state_c = create_train_state(model, tx, jax.random.PRNGKey(0), batches[0],
+                                 input_transform=transform)
+    _, losses_raw = multi_raw(state_c, stacked)
+    assert not np.allclose(
+        np.asarray(losses_b["loss"]), np.asarray(losses_raw["loss"]), rtol=1e-3
+    )

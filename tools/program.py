@@ -364,7 +364,10 @@ def train(
     if steps_per_dispatch > 1:
         from pytorchocr_tpu.trainer import make_multi_train_step, stack_batches
 
-        multi_step = make_multi_train_step(model, loss_class, tx, mesh)
+        multi_step = make_multi_train_step(
+            model, loss_class, tx, mesh,
+            input_transform=build_input_transform(_dn_spec.get("Train")),
+        )
 
     # tracing/profiling subsystem: Global.use_profiler captures an
     # XLA/jax.profiler trace of steps [profile_start, profile_end) into
