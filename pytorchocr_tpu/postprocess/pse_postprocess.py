@@ -92,6 +92,11 @@ class PSEPostProcess:
 
     def generate_box(self, score, label, shape):
         src_h, src_w, ratio_h, ratio_w = shape
+        if not label.flags.writeable:
+            # the device path hands a zero-copy (read-only) view of the JAX
+            # label map; the filter loop below zeroes rejected components in
+            # place, so take a writable copy
+            label = label.copy()
         label_num = np.max(label) + 1
 
         boxes = []

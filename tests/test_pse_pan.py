@@ -330,3 +330,44 @@ def test_extreme_logit_gradients_finite():
     y = jnp.asarray(rng.randn(2, 8, 8, 1).astype(np.float32) * 150.0)
     gx = jax.grad(lambda a: dml(a, y))(x)
     assert bool(jnp.all(jnp.isfinite(gx))), "DML grad NaN at extreme logits"
+
+
+def test_pse_postprocess_device_scale1_readonly_label():
+    """scale=1 device path regression: the device label map reaches
+    generate_box as a zero-copy READ-ONLY numpy view (no cv2.resize copy at
+    scale 1) and the component filter loop writes label[ind] = 0 — this
+    crashed the quality PSE training's first eval with 'assignment
+    destination is read-only'.  Includes a sub-min_area component so the
+    in-place zeroing branch actually runs."""
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    h, w = 64, 64
+    maps = np.full((1, h, w, 7), -10.0, np.float32)
+    maps[0, 8:24, 4:28, :] = 10.0  # real instance
+    maps[0, 40, 40, :] = 10.0      # 1px blob -> 16px after x4, < min_area 20
+    shape_list = [[h * 4, w * 4, 1.0, 1.0]]
+    post = build_post_process({"name": "PSEPostProcess", "thresh": 0,
+                               "box_thresh": 0.5, "min_area": 20, "scale": 1,
+                               "use_device_expand": True})
+    res = post({"maps": jnp.asarray(maps)}, shape_list)
+    assert len(res[0]["points"]) == 1
+
+
+def test_pan_postprocess_device_scale1_readonly_label():
+    """Same regression for PAN at scale=1 (its quality config runs scale 4,
+    where cv2.resize incidentally made a writable copy)."""
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    h, w = 64, 64
+    maps = np.full((1, h, w, 6), -10.0, np.float32)
+    maps[0, 8:24, 4:28, 0] = 10.0
+    maps[0, 10:22, 8:24, 1] = 10.0
+    maps[0, 40, 40, 0] = 10.0  # 1px text+kernel blob -> 16px after x4,
+    maps[0, 40, 40, 1] = 10.0  # < min_area 20 -> label[ind] = 0 branch
+    shape_list = [[h * 4, w * 4, 1.0, 1.0]]
+    post = build_post_process({"name": "PANPostProcess", "thresh": 0,
+                               "box_thresh": 0.5, "min_area": 20,
+                               "min_kernel_area": 2.6, "scale": 1,
+                               "use_device_aggregate": True})
+    res = post({"maps": jnp.asarray(maps)}, shape_list)
+    assert len(res[0]["points"]) == 1
