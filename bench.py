@@ -8,19 +8,31 @@ weight quantization, int8 x int8 -> int32 convs on the MXU.  Accuracy vs
 the float path is covered by tests/test_quant.py (and the full-resolution
 det-output parity test).
 
-Delivery is staged so an external timeout can never erase the round's
-number (round-1 postmortem: one bs128-int8 compile through the tunnel
-exceeded the driver budget and rc=124 captured nothing):
+Delivery design (rounds 1 and 2 both failed to land a number; this is the
+third-attempt staging, headline-first):
 
-  1. a cheap bf16 bs16 phase compiles in well under a minute and prints a
-     *preliminary* JSON line immediately (flushed);
-  2. the full bs128-int8 phase then prints the final JSON line.
+  1. The HEADLINE graph (int8, bs128 — the one that lives in the
+     persistent compile cache because every round's own runs warm it)
+     compiles FIRST.  The moment one post-compile timed call exists, a
+     preliminary JSON line is emitted (flushed) — from that point on the
+     round has a number no matter what dies later.
+  2. The min-of-N refinement then replaces it with the final line.
+  3. Only if the headline phase fails does a bf16-bs128 fallback run.
+
+There is deliberately NO cheap-looking warm-up phase before the headline:
+round 2 proved the "cheap" bf16-bs16 preliminary was the cache-COLD graph
+(nothing else in the repo uses that shape) and it burned 1/3 of the budget
+timing out before the cache-warm headline could start.  Cache-warmth, not
+graph size, decides what lands within budget through the ~30ms-RTT tunnel.
+
+Every stage prints a "[bench  t=..s] stage" line to stderr so a timeout's
+captured tail shows exactly where the budget went.
 
 Each phase runs in a worker thread joined with a timeout (budgets
 overridable via BENCH_BUDGET_S) — a plain signal.alarm cannot interrupt a
 futex-parked tunnel call; a hung tunnel or slow compile forfeits only
-that phase, and the last printed line stands.  The driver takes the LAST
-JSON line on stdout.
+that phase, and the last printed JSON line stands (the driver takes the
+LAST line on stdout).
 
 The TPU here is reached through a tunnel with ~30ms per-call RTT, so the
 benchmark loops ITERS forwards ON DEVICE inside a single jit call (a
@@ -37,28 +49,36 @@ BASELINE_TRT_FP16_FPS: the reference repo publishes NO speed numbers
 T4-class GPUs cluster around ~50 imgs/s, so 50.0 is used as the baseline;
 the driver target is 3x => vs_baseline >= 3.0.
 
-Measured on one v5e chip: bf16 831 imgs/s; int8 1177 imgs/s at bs128 with
-the int8 activation flow (ops/quant.py QTensor: backbone + FPN-fuse + head
-IO tensors stay int8 in HBM — see benchmarks/ROOFLINE.md for the
-bandwidth analysis; bs16 440 -> bs128 saturates; bs192 regresses to 989).
+Measured on one v5e chip (see benchmarks/ROOFLINE.md for the bandwidth
+analysis and run-to-run variance): int8 ~1050-1180 imgs/s at bs128 with
+the int8 activation flow (ops/quant.py QTensor: backbone + FPN-fuse +
+head IO tensors stay int8 in HBM; bs16 440 -> bs128 saturates; bs192
+regresses to 989); bf16 ~830 imgs/s.
 """
 
 import json
 import os
 import sys
 import threading
+import time
 
 BASELINE_TRT_FP16_FPS = 50.0
 H, W = 736, 1280
 
-# Overall wall budget (s); split ~1/3 preliminary, rest headline.  Kept
-# safely under typical external timeouts so *we* decide what gets skipped.
+# Overall wall budget (s).  Kept safely under typical external timeouts so
+# *we* decide what gets skipped.
 TOTAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "540"))
 
+_T0 = time.monotonic()
 _ABANDONED_PHASES = []  # phases whose worker thread is still wedged
 
 
-def _run_phase(budget_s, fn):
+def _stamp(msg):
+    print("[bench t=%5.1fs] %s" % (time.monotonic() - _T0, msg),
+          file=sys.stderr, flush=True)
+
+
+def _run_phase(budget_s, fn, name):
     """Run fn() in a daemon worker thread bounded by budget_s seconds.
     Returns (ok, result_or_message).
 
@@ -67,10 +87,12 @@ def _run_phase(budget_s, fn):
     to run the Python-level SIGALRM handler (same limitation the train
     loop's save-hang watchdog documents, tools/program.py).  The main
     thread joining a worker with a timeout DOES fire regardless; an
-    expired worker is abandoned (it can never print — _emit happens on
-    the main thread after a successful join) and main() hard-exits at the
-    end so a wedged client cannot block process teardown either.
+    expired worker is abandoned and main() hard-exits at the end so a
+    wedged client cannot block process teardown either.  (Preliminary
+    emits happen INSIDE the worker, deliberately: if the worker wedges
+    after its first timed call, the preliminary line already stands.)
     """
+    _stamp("phase %s start (budget %ds)" % (name, budget_s))
     result = {}
 
     def _worker():
@@ -89,7 +111,9 @@ def _run_phase(budget_s, fn):
     worker.join(max(int(budget_s), 1))
     if worker.is_alive():
         _ABANDONED_PHASES.append(fn)
+        _stamp("phase %s TIMED OUT" % name)
         return False, "phase timed out after %ds (worker abandoned)" % budget_s
+    _stamp("phase %s done ok=%s" % (name, result.get("ok", False)))
     return result.get("ok", False), result.get("value")
 
 
@@ -109,19 +133,20 @@ def _emit(imgs_per_sec, mode):
 
 
 def main():
-    import time
-
-    t_start = time.monotonic()
-
     # stop any of the builder's own registered background training queues:
     # a concurrent client on the one chip skews the measurement and has
-    # wedged the shared tunneled client before (see utils/bgjobs.py)
+    # wedged the shared tunneled client before (see utils/bgjobs.py).
+    # Registration is wired into tools/quality_queue.sh and tools/train.py
+    # (OCR_TPU_REGISTER_BG=1) so every long-running chip job is covered.
     try:
         from pytorchocr_tpu.utils import bgjobs
 
-        bgjobs.reap(log=lambda m: print(m, file=sys.stderr, flush=True))
+        victims = bgjobs.reap(log=lambda m: print(m, file=sys.stderr, flush=True))
+        if victims:
+            time.sleep(2.0)  # let the chip's previous client actually release
     except Exception:
         pass
+    _stamp("bgjobs reaped")
 
     import jax  # noqa: F401
     import jax.numpy as jnp
@@ -141,13 +166,22 @@ def main():
     from benchmarks.harness import measure_forward_loop
     from pytorchocr_tpu.ops import quant as quant_ops
 
+    _stamp("imports done")
+
     model = _build_db_model(jnp.bfloat16)
-    # jitted init: eager flax init dispatches each op through the tunnel
-    # (~100s of RTTs); one traced call compiles once and hits the
-    # persistent cache on reruns.
-    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
-        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))
-    )
+    shared = {}  # phase 1 leaves variables here for the fallback phase
+
+    def _init_variables():
+        # jitted init: eager flax init dispatches each op through the
+        # tunnel (~100s of RTTs); one traced call compiles once and hits
+        # the persistent cache on reruns.  Done INSIDE the phase worker so
+        # a wedged device init can only forfeit the phase, not hang main.
+        if "variables" not in shared:
+            shared["variables"] = jax.jit(
+                lambda k, x: model.init(k, x, train=False)
+            )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            _stamp("model init done")
+        return shared["variables"]
 
     def apply_fn(v, x):
         return model.apply(v, x, train=False)["maps"]
@@ -162,49 +196,52 @@ def main():
             lambda k: jax.random.uniform(k, (batch, H, W, 3), jnp.bfloat16)
         )(jax.random.PRNGKey(seed))
 
-    def measure(vs, batch, iters):
+    def measure(vs, batch, iters, mode):
         images = device_images(batch, seed=batch)
+        _stamp("%s: inputs ready, compiling measure loop" % mode)
         elapsed = measure_forward_loop(
-            apply_fn, vs, images, iters, verbose=False
+            apply_fn, vs, images, iters, verbose=False,
+            early_cb=lambda dt: (
+                _stamp("%s: first timed call %.2fs -> preliminary" % (mode, dt)),
+                _emit(batch * iters / dt, mode + "-preliminary"),
+            ),
         )
         return batch * iters / elapsed
 
-    # ---- Phase 1: cheap bf16 preliminary (fast compile, always lands) ----
-    prelim_budget = max(TOTAL_BUDGET_S // 3, 60)
-    ok, res = _run_phase(prelim_budget, lambda: measure(variables, 16, 4))
-    if ok:
-        _emit(res, "bf16-bs16-preliminary")
-    else:
-        print("preliminary phase failed: %s" % res, file=sys.stderr, flush=True)
-
-    # ---- Phase 2: headline int8 bs128 (falls back to bf16 bs128) ----
-    remaining = TOTAL_BUDGET_S - (time.monotonic() - t_start)
-    if remaining < 60:
-        print("budget exhausted before headline phase", file=sys.stderr, flush=True)
-        return
-
+    # ---- Phase 1: HEADLINE int8 bs128 (cache-warm graph goes first) ----
     def int8_phase():
+        variables = _init_variables()
         calib = device_images(1, seed=7).astype(jnp.float32)
         qvariables = quant_ops.calibrate(model, variables, [calib])
+        _stamp("int8 calibration done")
         with quant_ops.quantized("int8"):
-            return measure(qvariables, 128, 8)
+            return measure(qvariables, 128, 8, "int8")
 
-    ok, res = _run_phase(remaining, int8_phase)
+    elapsed = time.monotonic() - _T0
+    headline_budget = max(int(TOTAL_BUDGET_S - elapsed - 90), 120)
+    ok, res = _run_phase(headline_budget, int8_phase, "int8-headline")
     if ok:
         _emit(res, "int8")
         return
     print("int8 phase failed: %s" % res, file=sys.stderr, flush=True)
 
-    remaining = TOTAL_BUDGET_S - (time.monotonic() - t_start)
-    if remaining < 60:
+    # ---- Phase 2: bf16 bs128 fallback (only when the headline failed) ----
+    remaining = TOTAL_BUDGET_S - (time.monotonic() - _T0)
+    if remaining < 45:
+        _stamp("budget exhausted before fallback phase")
         return
-    ok, res = _run_phase(remaining, lambda: measure(variables, 128, 8))
+    ok, res = _run_phase(
+        remaining,
+        lambda: measure(_init_variables(), 128, 8, "bf16-fallback"),
+        "bf16-fallback",
+    )
     if ok:
         _emit(res, "bf16-fallback")
 
 
 if __name__ == "__main__":
     main()
+    _stamp("bench exiting (abandoned phases: %d)" % len(_ABANDONED_PHASES))
     if _ABANDONED_PHASES:
         # a wedged tunnel thread must not block interpreter teardown — the
         # printed JSON lines are the deliverable, exit with them intact

@@ -11,11 +11,17 @@ measures device compute.
 import time
 
 
-def measure_forward_loop(apply_fn, variables, images, iters, verbose=True):
+def measure_forward_loop(apply_fn, variables, images, iters, verbose=True,
+                         early_cb=None):
     """apply_fn(variables, x) -> array.  Returns seconds for `iters` apps.
 
     The perturbation adds i*1e-3 in the input dtype, defeating loop-
     invariant hoisting without changing the compute profile.
+
+    ``early_cb``: optional callable invoked with the elapsed seconds of the
+    FIRST post-compile warm call — lets a delivery-critical caller emit a
+    preliminary number the moment a usable timing exists, before the
+    min-of-3 refinement (bench.py's timeout insurance).
     """
     import jax
     import jax.numpy as jnp
@@ -33,8 +39,12 @@ def measure_forward_loop(apply_fn, variables, images, iters, verbose=True):
     float(jitted(variables, images))
     if verbose:
         print(f"compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
+    start = time.perf_counter()
     float(jitted(variables, images))
-    times = []
+    warm_elapsed = time.perf_counter() - start
+    if early_cb is not None:
+        early_cb(warm_elapsed)
+    times = [warm_elapsed]
     for _ in range(3):
         start = time.perf_counter()
         float(jitted(variables, images))

@@ -20,9 +20,27 @@ PIDS_FILE = "/tmp/ocr_tpu_bg.pids"
 
 
 def register(pid, pids_file=PIDS_FILE):
-    """Append a root pid to the registry (one per line)."""
+    """Append a root pid to the registry (one per line).
+
+    The line records ``pid starttime`` (starttime = field 22 of
+    /proc/pid/stat, clock ticks since boot) so reap() can detect pid
+    recycling: a stale registry entry whose pid the kernel has since
+    reassigned to an unrelated process must never be killed.
+    """
+    pid = int(pid)
     with open(pids_file, "a") as f:
-        f.write("%d\n" % int(pid))
+        f.write("%d %s\n" % (pid, _starttime(pid) or ""))
+
+
+def _starttime(pid):
+    """Process start time in clock ticks, or None if unreadable."""
+    try:
+        with open("/proc/%d/stat" % pid) as f:
+            stat = f.read()
+        # comm (field 2) may contain spaces/parens — split after last ')'
+        return stat[stat.rindex(")") + 2:].split()[19]  # field 22
+    except (OSError, ValueError, IndexError):
+        return None
 
 
 def _children(pid):
@@ -60,8 +78,19 @@ def reap(pids_file=PIDS_FILE, grace_s=5.0, log=None):
     if not os.path.exists(pids_file):
         return []
     try:
+        roots = []
         with open(pids_file) as f:
-            roots = [int(l) for l in f.read().split() if l.strip()]
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                pid = int(parts[0])
+                if len(parts) > 1:
+                    # starttime mismatch => the pid has been recycled to an
+                    # unrelated process since registration: skip it.
+                    if _starttime(pid) != parts[1]:
+                        continue
+                roots.append(pid)
     except (OSError, ValueError):
         return []
     victims = []

@@ -119,5 +119,10 @@ def main(config, rng, logger, tsb_writer):
 
 
 if __name__ == "__main__":
+    if os.environ.get("OCR_TPU_REGISTER_BG"):
+        # Benchmark isolation (utils/bgjobs.py): see tools/train.py.
+        from pytorchocr_tpu.utils import bgjobs
+
+        bgjobs.register(os.getpid())
     config, rng, logger, tsb_writer = program.preprocess(is_train=False)
     main(config, rng, logger, tsb_writer)

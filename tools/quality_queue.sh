@@ -10,6 +10,14 @@ cd "$(dirname "$0")/.." || exit 1
 SUMMARY=/tmp/quality_queue.summary
 touch "$SUMMARY"
 
+# Benchmark isolation: register this queue's pid so bench.py /
+# __graft_entry__.entry() reap the whole subtree before touching the chip
+# (utils/bgjobs.py).  OCR_TPU_REGISTER_BG makes every train/eval child
+# self-register too — defense in depth if the queue shell dies first and
+# orphans a training.
+python -c "from pytorchocr_tpu.utils import bgjobs; bgjobs.register($$)"
+export OCR_TPU_REGISTER_BG=1
+
 declare -A CFG=(
   [db]=configs/det/det_r18_db_synth.yml
   [rec]=configs/rec/rec_vgg_bilstm_ctc_synth.yml

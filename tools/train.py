@@ -120,5 +120,12 @@ def main(config, rng, logger, tsb_writer):
 
 
 if __name__ == "__main__":
+    if os.environ.get("OCR_TPU_REGISTER_BG"):
+        # Benchmark isolation (utils/bgjobs.py): background quality-queue
+        # trainings self-register so bench.py / the driver's entry()
+        # compile-check reap them before touching the single shared chip.
+        from pytorchocr_tpu.utils import bgjobs
+
+        bgjobs.register(os.getpid())
     config, rng, logger, tsb_writer = program.preprocess(is_train=True)
     main(config, rng, logger, tsb_writer)
