@@ -124,3 +124,54 @@ def test_table_end_to_end(tmp_path):
     metric(post_result, b)
     out = metric.get_metric()
     assert 0.0 <= out["acc"] <= 1.0
+
+
+def _levenshtein_ref(a, b):
+    # textbook O(nm) reference implementation
+    dp = list(range(len(b) + 1))
+    for i, ta in enumerate(a):
+        ndp = [i + 1]
+        for j, tb in enumerate(b):
+            ndp.append(min(dp[j + 1] + 1, ndp[j] + 1, dp[j] + (ta != tb)))
+        dp = ndp
+    return dp[-1]
+
+
+def test_token_edit_distance_matches_reference():
+    import random
+
+    from pytorchocr_tpu.metrics.table_metric import _token_edit_distance
+
+    rng = random.Random(0)
+    toks = ["<tr>", "</tr>", "<td>", "</td>", "<td", ' colspan="2"', ">"]
+    for _ in range(50):
+        a = [rng.choice(toks) for _ in range(rng.randrange(0, 30))]
+        b = [rng.choice(toks) for _ in range(rng.randrange(0, 30))]
+        assert _token_edit_distance(a, b) == _levenshtein_ref(a, b)
+
+
+def test_table_structure_metric_token_acc_diagnostic():
+    """One wrong token zeroes exact-match `acc` but leaves `token_acc`
+    high — the diagnostic separating metric harshness from a broken
+    decoder (QUALITY.md SLANet analysis)."""
+    from pytorchocr_tpu.metrics.table_metric import TableStructureMetric
+
+    gt = ["<tr>", "<td>", "</td>", "<td>", "</td>", "</tr>"] * 4
+    pred = list(gt)
+    pred[5] = "<td>"  # single token wrong
+    metric = TableStructureMetric()
+    metric((
+        {"structure_batch_list": [(pred, None)]},
+        {"structure_batch_list": [gt]},
+    ))
+    out = metric.get_metric()
+    assert out["acc"] < 1e-3
+    assert out["token_acc"] > 0.9
+    # exact match still scores 1.0 / 1.0
+    metric((
+        {"structure_batch_list": [(gt, None)]},
+        {"structure_batch_list": [gt]},
+    ))
+    out = metric.get_metric()
+    assert abs(out["acc"] - 1.0) < 1e-3
+    assert abs(out["token_acc"] - 1.0) < 1e-6

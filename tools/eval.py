@@ -117,6 +117,29 @@ def main(config, rng, logger, tsb_writer):
         "\n".join("{}: {}".format(k, v) for k, v in metric.items()),
     )
 
+    # Artifact of record: Global.metric_json=path writes the metric dict +
+    # provenance as JSON so published QUALITY.md rows stay auditable
+    # without retraining (the quality queue sets this per run).
+    metric_json = global_config.get("metric_json")
+    if metric_json:
+        import datetime
+        import json
+
+        payload = {
+            "metric": {k: (float(v) if hasattr(v, "__float__") else v)
+                       for k, v in metric.items()},
+            "config": global_config.get("_config_path"),
+            "checkpoints": global_config.get("checkpoints"),
+            "quant": bool(global_config.get("quant", False)),
+            "eval_label_file_list": config.get("Eval", {})
+            .get("dataset", {}).get("label_file_list"),
+            "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+        }
+        os.makedirs(os.path.dirname(metric_json) or ".", exist_ok=True)
+        with open(metric_json, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        logger.info("metric json written to %s", metric_json)
+
 
 if __name__ == "__main__":
     if os.environ.get("OCR_TPU_REGISTER_BG"):

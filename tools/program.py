@@ -133,6 +133,8 @@ def preprocess(is_train=False):
     args = ArgsParser().parse_args()
     config = load_config(args.config)
     merge_config(config, args.opt)
+    # provenance for artifact-of-record JSONs (tools/eval.py metric_json)
+    config["Global"]["_config_path"] = args.config
 
     # set by the host-RSS watchdog before it re-execs a leaking train
     # process (see train()); overrides Global.checkpoints for the resume

@@ -30,6 +30,13 @@ declare -A CFG=(
   [mbv3]=configs/det/det_mbv3large05_db_synth.yml
   [starnet]=configs/rec/rec_vgg_tps_bilstm_ctc_synth.yml
 )
+# per-model -o overrides (e.g. trimmed epoch counts where convergence is
+# already known from a previous full run — DB's best epoch was 35-45/60)
+declare -A OPTS=(
+  [db]="Global.epoch_num=45"
+  [starnet]="Global.epoch_num=250"
+  [table]="Global.epoch_num=60 Global.eval_epoch_step=[25,5]"
+)
 declare -A OUT=(
   [db]=./output/quality/det_r18_db_synth
   [rec]=./output/quality/rec_vgg_bilstm_ctc_synth
@@ -43,10 +50,20 @@ declare -A OUT=(
   [starnet]=./output/quality/rec_starnet_synth
 )
 
+# det-family models additionally get a distribution-shift eval (unseen
+# fonts/contrast/rotation — gen_synth_det.py --style shifted) so the
+# saturated in-distribution benchmark is not the only published number.
+SHIFTED_EVAL=./train_data/synthdet_shifted/eval_label.txt
+declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1)
+# models whose QUALITY.md rows publish an int8-PTQ column
+declare -A WANT_INT8=([db]=1 [rec]=1)
+
 run_one() {
   local name=$1 cfg=${CFG[$1]} out=${OUT[$1]}
   echo "=== $(date +%H:%M:%S) TRAIN $name ($cfg) ===" | tee -a "$SUMMARY"
+  # shellcheck disable=SC2086 — OPTS is a space-separated -o list
   timeout 14400 python tools/train.py -c "$cfg" \
+    ${OPTS[$name]:+-o ${OPTS[$name]}} \
     > "/tmp/q_${name}.train.log" 2>&1
   local rc=$?
   echo "train $name rc=$rc" >> "$SUMMARY"
@@ -57,9 +74,33 @@ run_one() {
   echo "=== $(date +%H:%M:%S) EVAL $name ===" >> "$SUMMARY"
   timeout 3600 python tools/eval.py -c "$cfg" \
     -o Global.checkpoints="$out/best_accuracy" \
+       Global.metric_json="$out/RESULT.json" \
     > "/tmp/q_${name}.eval.log" 2>&1
   echo "eval $name rc=$?" >> "$SUMMARY"
+  cp "/tmp/q_${name}.eval.log" "$out/eval.log"
   grep -h -A6 "metric eval" "/tmp/q_${name}.eval.log" | tail -7 >> "$SUMMARY"
+  if [ -n "${IS_DET[$name]}" ] && [ -f "$SHIFTED_EVAL" ]; then
+    echo "=== $(date +%H:%M:%S) EVAL $name (shifted) ===" >> "$SUMMARY"
+    timeout 3600 python tools/eval.py -c "$cfg" \
+      -o Global.checkpoints="$out/best_accuracy" \
+         Global.metric_json="$out/RESULT_shifted.json" \
+         Eval.dataset.label_file_list="[$SHIFTED_EVAL]" \
+      > "/tmp/q_${name}.eval_shifted.log" 2>&1
+    echo "eval-shifted $name rc=$?" >> "$SUMMARY"
+    cp "/tmp/q_${name}.eval_shifted.log" "$out/eval_shifted.log"
+    grep -h -A6 "metric eval" "/tmp/q_${name}.eval_shifted.log" | tail -7 >> "$SUMMARY"
+  fi
+  if [ -n "${WANT_INT8[$name]}" ]; then
+    echo "=== $(date +%H:%M:%S) EVAL $name (int8 PTQ) ===" >> "$SUMMARY"
+    timeout 3600 python tools/eval.py -c "$cfg" \
+      -o Global.checkpoints="$out/best_accuracy" \
+         Global.metric_json="$out/RESULT_int8.json" \
+         Global.quant=true Global.quant_calib_n=8 \
+      > "/tmp/q_${name}.eval_int8.log" 2>&1
+    echo "eval-int8 $name rc=$?" >> "$SUMMARY"
+    cp "/tmp/q_${name}.eval_int8.log" "$out/eval_int8.log"
+    grep -h -A6 "metric eval" "/tmp/q_${name}.eval_int8.log" | tail -7 >> "$SUMMARY"
+  fi
 }
 
 NAMES=("$@")
