@@ -29,6 +29,7 @@ declare -A CFG=(
   [cml]=configs/det/distillation/det_cml_db_synth.yml
   [mbv3]=configs/det/det_mbv3large05_db_synth.yml
   [starnet]=configs/rec/rec_vgg_tps_bilstm_ctc_synth.yml
+  [bigvocab]=configs/rec/rec_vgg_bilstm_ctc_bigvocab.yml
 )
 # per-model -o overrides (e.g. trimmed epoch counts where convergence is
 # already known from a previous full run — DB's best epoch was 35-45/60)
@@ -48,6 +49,7 @@ declare -A OUT=(
   [cml]=./output/quality/det_cml_db_synth
   [mbv3]=./output/quality/det_mbv3large05_db_synth
   [starnet]=./output/quality/rec_starnet_synth
+  [bigvocab]=./output/quality/rec_bigvocab_synth
 )
 
 # det-family models additionally get a distribution-shift eval (unseen
