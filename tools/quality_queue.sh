@@ -35,6 +35,8 @@ declare -A CFG=(
 # already known from a previous full run — DB's best epoch was 35-45/60)
 declare -A OPTS=(
   [db]="Global.epoch_num=45"
+  [dbpp]="Global.epoch_num=40"
+  [pse]="Global.epoch_num=40"
   [starnet]="Global.epoch_num=250"
   [table]="Global.epoch_num=60 Global.eval_epoch_step=[25,5]"
 )
