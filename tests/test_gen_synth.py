@@ -127,3 +127,44 @@ def test_gen_synth_table_deterministic(tmp_path):
                 assert "bbox" not in c
         # structure tokens must all be encodable by the shipped dict
         assert "<thead>" == structure[0] and structure[-1] == "</tbody>"
+
+
+def test_gen_synth_rec_bigvocab_deterministic(tmp_path):
+    """Big-vocab generator: deterministic, dict == packaged copy, labels
+    drawn from the active (renderable, glyph-deduped) charset."""
+    a, b = tmp_path / "a", tmp_path / "b"
+    extra = ("--active", "200")
+    _run_gen("gen_synth_rec_bigvocab.py", a, extra=extra)
+    _run_gen("gen_synth_rec_bigvocab.py", b, extra=extra)
+    assert _tree_digest(a) == _tree_digest(b)
+
+    with open(os.path.join(a, "char_dict.txt"), encoding="UTF-8") as f:
+        dict_chars = [l.rstrip("\n") for l in f if l.rstrip("\n")]
+    assert len(dict_chars) == 6622  # reference protocol width (6623 w/ blank)
+    assert len(set(dict_chars)) == 6622
+
+    with open(os.path.join(a, "train_label.txt"), encoding="UTF-8") as f:
+        lines = [l.rstrip("\n") for l in f if l.strip()]
+    assert len(lines) == 3
+    charset = set(dict_chars)
+    for line in lines:
+        path, label = line.split("\t", 1)
+        assert os.path.exists(path)
+        assert 2 <= len(label) <= 8
+        assert all(c in charset for c in label)
+
+    # the packaged dict (what the config loads) must agree with the
+    # full-size generator output on this host's fonts
+    import subprocess as sp
+    full = tmp_path / "full"
+    sp.run(
+        [sys.executable, os.path.join(GEN_DIR, "gen_synth_rec_bigvocab.py"),
+         "--out", str(full), "--train", "0", "--eval", "0", "--seed", "2022"],
+        cwd=GEN_DIR, check=True, capture_output=True, timeout=300,
+    )
+    with open(os.path.join(full, "char_dict.txt"), encoding="UTF-8") as f:
+        gen_dict = f.read()
+    with open(os.path.join(REPO, "pytorchocr_tpu", "utils",
+                           "char_dict_bigvocab.txt"), encoding="UTF-8") as f:
+        packaged = f.read()
+    assert gen_dict == packaged
