@@ -38,6 +38,7 @@ declare -A OPTS=(
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
   [starnet]="Global.epoch_num=250"
+  [bigvocab]="Global.eval_epoch_step=[40,10]"
   [table]="Global.epoch_num=60 Global.eval_epoch_step=[25,5]"
 )
 declare -A OUT=(
