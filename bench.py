@@ -71,6 +71,8 @@ TOTAL_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "540"))
 
 _T0 = time.monotonic()
 _ABANDONED_PHASES = []  # phases whose worker thread is still wedged
+_ABANDONED_THREADS = set()  # their threads: late emits must be suppressed
+_INIT_LOCK = threading.Lock()  # one worker inits the shared client at a time
 
 
 def _stamp(msg):
@@ -111,6 +113,7 @@ def _run_phase(budget_s, fn, name):
     worker.join(max(int(budget_s), 1))
     if worker.is_alive():
         _ABANDONED_PHASES.append(fn)
+        _ABANDONED_THREADS.add(worker)
         _stamp("phase %s TIMED OUT" % name)
         return False, "phase timed out after %ds (worker abandoned)" % budget_s
     _stamp("phase %s done ok=%s" % (name, result.get("ok", False)))
@@ -118,6 +121,11 @@ def _run_phase(budget_s, fn, name):
 
 
 def _emit(imgs_per_sec, mode):
+    # a worker abandoned by its phase timeout may wake up late; its line
+    # must not land AFTER the fallback's (the driver takes the LAST line)
+    if threading.current_thread() in _ABANDONED_THREADS:
+        _stamp("suppressed late emit (%s) from abandoned worker" % mode)
+        return
     print(
         json.dumps(
             {
@@ -176,12 +184,16 @@ def main():
         # tunnel (~100s of RTTs); one traced call compiles once and hits
         # the persistent cache on reruns.  Done INSIDE the phase worker so
         # a wedged device init can only forfeit the phase, not hang main.
-        if "variables" not in shared:
-            shared["variables"] = jax.jit(
-                lambda k, x: model.init(k, x, train=False)
-            )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-            _stamp("model init done")
-        return shared["variables"]
+        # The lock serializes the check-then-set: if the int8 worker is
+        # abandoned while wedged inside init, the bf16 fallback must not
+        # re-enter init concurrently on the same wedged client.
+        with _INIT_LOCK:
+            if "variables" not in shared:
+                shared["variables"] = jax.jit(
+                    lambda k, x: model.init(k, x, train=False)
+                )(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+                _stamp("model init done")
+            return shared["variables"]
 
     def apply_fn(v, x):
         return model.apply(v, x, train=False)["maps"]

@@ -39,12 +39,15 @@ def measure_forward_loop(apply_fn, variables, images, iters, verbose=True,
     float(jitted(variables, images))
     if verbose:
         print(f"compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
+    # the warm call feeds early_cb only — it is NOT a timed sample, so the
+    # published number stays "min of 3 timed calls after compile+warm"
+    # (the documented methodology above)
     start = time.perf_counter()
     float(jitted(variables, images))
     warm_elapsed = time.perf_counter() - start
     if early_cb is not None:
         early_cb(warm_elapsed)
-    times = [warm_elapsed]
+    times = []
     for _ in range(3):
         start = time.perf_counter()
         float(jitted(variables, images))

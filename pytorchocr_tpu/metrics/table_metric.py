@@ -40,6 +40,20 @@ def _token_edit_distance(a, b):
 
 
 class TableStructureMetric:
+    """Structure exact-match ``acc`` (reference pytocr/metrics/
+    table_metric.py) + a ``token_acc`` diagnostic (normalized token edit
+    similarity, ours).
+
+    Parity caveat: with ``del_thead_tbody`` the reference strips
+    '<thead>' etc. as SUBSTRINGS of the joined string (removal can span
+    token boundaries); this filters whole tokens, which is stricter and
+    arguably more correct but can differ on malformed predictions.
+    ``acc`` compares joined strings while ``token_acc`` compares token
+    lists, so a prediction that joins equal but tokenizes differently
+    scores acc=1 with token_acc<1 — intentional: acc keeps the
+    reference's comparison, token_acc diagnoses per-token decode errors.
+    """
+
     def __init__(self, main_indicator="acc", eps=1e-6, del_thead_tbody=False, **kwargs):
         self.main_indicator = main_indicator
         self.eps = eps

@@ -84,14 +84,22 @@ def reap(pids_file=PIDS_FILE, grace_s=5.0, log=None):
                 parts = line.split()
                 if not parts:
                     continue
-                pid = int(parts[0])
+                try:
+                    pid = int(parts[0])
+                except ValueError:
+                    # torn concurrent append (the file is appended by the
+                    # queue shell AND every self-registering train/eval
+                    # child): skip the bad line, keep reaping the rest —
+                    # a single malformed line must not defeat benchmark
+                    # isolation.
+                    continue
                 if len(parts) > 1:
                     # starttime mismatch => the pid has been recycled to an
                     # unrelated process since registration: skip it.
                     if _starttime(pid) != parts[1]:
                         continue
                 roots.append(pid)
-    except (OSError, ValueError):
+    except OSError:
         return []
     victims = []
     for root in roots:

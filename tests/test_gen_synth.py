@@ -154,12 +154,16 @@ def test_gen_synth_rec_bigvocab_deterministic(tmp_path):
         assert all(c in charset for c in label)
 
     # the packaged dict (what the config loads) must agree with the
-    # full-size generator output on this host's fonts
+    # full-size generator output on this host's fonts; the packaged dict
+    # was produced with the pre-r4 single-font dedupe, so pin that mode
+    # (the default is now --dedupe_fonts all; a packaged-dict refresh
+    # drops this flag together with a benchmark regen + retrain)
     import subprocess as sp
     full = tmp_path / "full"
     sp.run(
         [sys.executable, os.path.join(GEN_DIR, "gen_synth_rec_bigvocab.py"),
-         "--out", str(full), "--train", "0", "--eval", "0", "--seed", "2022"],
+         "--out", str(full), "--train", "0", "--eval", "0", "--seed", "2022",
+         "--dedupe_fonts", "first"],
         cwd=GEN_DIR, check=True, capture_output=True, timeout=300,
     )
     with open(os.path.join(full, "char_dict.txt"), encoding="UTF-8") as f:
@@ -168,3 +172,28 @@ def test_gen_synth_rec_bigvocab_deterministic(tmp_path):
                            "char_dict_bigvocab.txt"), encoding="UTF-8") as f:
         packaged = f.read()
     assert gen_dict == packaged
+
+
+def test_bigvocab_multi_font_dedupe_kills_cross_font_homoglyphs():
+    """--dedupe_fonts all (the default): a char pair distinct in fonts[0]
+    but pixel-identical in another render face keeps only one member
+    ('3'/'З' collide in DejaVuSansMono; '*'/'∗' likewise)."""
+    sys.path.insert(0, GEN_DIR)
+    try:
+        from gen_synth_det import _fonts
+        from gen_synth_rec_bigvocab import (
+            _dedupe_by_glyph,
+            _dedupe_by_glyph_all_fonts,
+        )
+    finally:
+        sys.path.remove(GEN_DIR)
+    fonts = _fonts()
+    chars = ["3", "З", "*", "∗", "a", "b"]
+    single = _dedupe_by_glyph(chars, fonts[0])
+    multi = _dedupe_by_glyph_all_fonts(chars, fonts)
+    # distinct in the first face -> single-font dedupe keeps both
+    assert "3" in single and "З" in single
+    # identical in the mono face -> multi-font dedupe keeps the first only
+    assert "3" in multi and "З" not in multi
+    assert "*" in multi and "∗" not in multi
+    assert {"a", "b"} <= set(multi)

@@ -80,27 +80,65 @@ def _dedupe_by_glyph(chars, font_path, px=24):
     seen = {}
     kept = []
     for ch in chars:
-        img = Image.new("L", (px * 3, px * 2), 0)
-        try:
-            ImageDraw.Draw(img).text((px // 2, px // 4), ch, font=font, fill=255)
-        except Exception:
-            continue
-        arr = np.asarray(img)
-        if arr.max() == 0:  # nothing rendered
-            continue
-        ys, xs = np.nonzero(arr > 32)
-        crop = arr[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
-        key = (crop.shape, crop.tobytes())
-        if key in seen:
+        key = _glyph_key(ch, font, px)
+        if key is None or key in seen:
             continue
         seen[key] = ch
         kept.append(ch)
     return kept
 
 
-def build_charset(fonts, active_n, rng):
+def _glyph_key(ch, font, px=24):
+    """Tight-cropped rendered bitmap of ``ch`` as a hashable key, or None
+    if nothing renders."""
+    img = Image.new("L", (px * 3, px * 2), 0)
+    try:
+        ImageDraw.Draw(img).text((px // 2, px // 4), ch, font=font, fill=255)
+    except Exception:
+        return None
+    arr = np.asarray(img)
+    if arr.max() == 0:  # nothing rendered
+        return None
+    ys, xs = np.nonzero(arr > 32)
+    crop = arr[ys.min():ys.max() + 1, xs.min():xs.max() + 1]
+    return (crop.shape, crop.tobytes())
+
+
+def _dedupe_by_glyph_all_fonts(chars, font_paths, px=24):
+    """Keep a char only if its rendered bitmap is distinct from every
+    previously-kept char's bitmap in EVERY render font.  render_line draws
+    with a random font from the whole family, so two classes distinct in
+    fonts[0] but pixel-identical in another face (e.g. '3'/'З' in the
+    mono face) would inject irreducible label noise; deduping on the
+    union of bitmaps removes them (measured on this host: 15/1500 active
+    chars were ambiguous in at least one DejaVu face).  First occurrence
+    wins, as in the single-font variant."""
+    fonts = [ImageFont.truetype(p, px) for p in font_paths]
+    seen = [set() for _ in fonts]
+    kept = []
+    for ch in chars:
+        keys = []
+        for font, s in zip(fonts, seen):
+            key = _glyph_key(ch, font, px)
+            if key is None or key in s:
+                keys = None
+                break
+            keys.append(key)
+        if keys is None:
+            continue
+        for s, key in zip(seen, keys):
+            s.add(key)
+        kept.append(ch)
+    return kept
+
+
+def build_charset(fonts, active_n, rng, dedupe_fonts="all"):
     chars = _renderable_codepoints(fonts)
-    chars = _dedupe_by_glyph(chars, fonts[0])
+    if dedupe_fonts == "all":
+        chars = _dedupe_by_glyph_all_fonts(chars, fonts)
+    else:  # "first": the pre-r4 behavior, kept so the published v1
+        # benchmark (packaged char_dict_bigvocab.txt) stays reproducible
+        chars = _dedupe_by_glyph(chars, fonts[0])
     ascii_core = [c for c in chars if ord(c) < 0x7F]
     rest = [c for c in chars if ord(c) >= 0x7F]
     rng.shuffle(rest)
@@ -173,12 +211,18 @@ def main():
     ap.add_argument("--active", type=int, default=1500,
                     help="number of distinct renderable classes used in text")
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--dedupe_fonts", choices=["all", "first"], default="all",
+                    help="homoglyph dedupe scope: 'all' (default) requires "
+                    "glyphs distinct in every render font; 'first' is the "
+                    "pre-r4 behavior that produced the packaged "
+                    "char_dict_bigvocab.txt")
     args = ap.parse_args()
 
     fonts = _fonts()
     rng = random.Random(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    active, dict_chars = build_charset(fonts, args.active, rng)
+    active, dict_chars = build_charset(fonts, args.active, rng,
+                                       dedupe_fonts=args.dedupe_fonts)
     dict_path = os.path.join(args.out, "char_dict.txt")
     with open(dict_path, "w", encoding="UTF-8") as f:
         f.write("\n".join(dict_chars) + "\n")

@@ -723,6 +723,14 @@ def train(
     return state
 
 
+def _slice_post(post_result, j):
+    """One sample of a batched postprocess output as a length-1 batch.
+    Dict-valued results (DistillationDBPostProcess) slice per sub-model."""
+    if isinstance(post_result, dict):
+        return {k: v[j : j + 1] for k, v in post_result.items()}
+    return post_result[j : j + 1]
+
+
 def evaluate(
     state,
     eval_step,
@@ -734,26 +742,102 @@ def evaluate(
     heartbeat=None,
 ):
     """Eval loop (reference tools/program.py:421-473).  ``heartbeat``:
-    optional zero-arg callable beaten once per batch (StallWatchdog)."""
-    total_frame = 0.0
-    total_time = 0.0
-    for idx, batch_np in enumerate(valid_dataloader):
+    optional zero-arg callable beaten once per batch (StallWatchdog).
+
+    Fast path for batch-size-1 loaders (det eval — the reference and our
+    configs pin ``Eval.loader.batch_size_per_card: 1`` because post-resize
+    shapes vary per image): samples are grouped by exact post-resize shape
+    and forwarded in padded-pow2 batches of up to 16, with the host
+    postprocess of chunk k overlapped against chunk k+1's dispatched
+    forward.  Because only the batch axis is stacked (never the spatial
+    dims — same grouping the deploy path uses, deploy/infer_det.py
+    run_batch) every per-sample activation is computed at the same shape
+    as the bs-1 path, so metrics are identical; per-sample dispatch and
+    tunnel-RTT cost is amortized ~16x.  The metric is fed per sample in
+    input order with the loader's own batch tuples, so the accumulation
+    protocol is untouched.  Table decode consumes the whole batch dict in
+    its postprocess and stays on the per-batch path, as does any loader
+    that already batches (rec/cls)."""
+    import itertools
+
+    batch_iter = iter(valid_dataloader)
+    samples = None
+    if model_type != "table":
+        first = next(batch_iter, None)
+        if first is None:
+            return eval_class.get_metric()
+        if np.asarray(first[0]).shape[0] == 1:
+            samples = [first] + list(batch_iter)
+        else:
+            batch_iter = itertools.chain([first], batch_iter)
+
+    if samples is None:
+        # per-batch path (table; pre-batched rec/cls loaders)
+        total_frame = 0.0
+        total_time = 0.0
+        for idx, batch_np in enumerate(batch_iter):
+            if heartbeat is not None:
+                heartbeat()
+            # numpy goes straight to device_put with its sharding (an
+            # intermediate jnp.asarray would stage a second full transfer)
+            images = shard_or_replicate(np.asarray(batch_np[0]), mesh)
+            start = time.time()
+            preds = eval_step(state.params, state.batch_stats, images)
+            jax.block_until_ready(preds)
+            total_time += time.time() - start
+            if model_type == "table":
+                post_result = post_process_class(preds, batch_np)
+                eval_class(post_result, batch_np)
+            else:
+                post_result = post_process_class(preds, batch_np[1])
+                eval_class(post_result, batch_np)
+            total_frame += len(batch_np[0])
+        metric = eval_class.get_metric()
+        metric["fps"] = total_frame / max(total_time, 1e-9)
+        return metric
+
+    # shape-bucketed batched path
+    groups = {}
+    for i, b in enumerate(samples):
+        groups.setdefault(np.asarray(b[0]).shape[1:], []).append(i)
+    MAX_BS = 16
+    chunks = []
+    for idxs in groups.values():
+        for c in range(0, len(idxs), MAX_BS):
+            chunks.append(idxs[c : c + MAX_BS])
+
+    per_sample = [None] * len(samples)
+    loop_start = time.time()
+    pending = None  # (chunk, async preds, padded shape_list)
+
+    def _finish(chunk, preds, shapes):
+        post_result = post_process_class(preds, shapes)
+        for j, i in enumerate(chunk):
+            per_sample[i] = _slice_post(post_result, j)
+
+    for chunk in chunks:
         if heartbeat is not None:
             heartbeat()
-        # numpy goes straight to device_put with its sharding (an
-        # intermediate jnp.asarray would stage a second full transfer)
-        images = shard_or_replicate(np.asarray(batch_np[0]), mesh)
-        start = time.time()
+        n = len(chunk)
+        bs = 1 << (n - 1).bit_length()  # pow2 pad: <=5 compiles per shape
+        imgs = [np.asarray(samples[i][0]) for i in chunk]
+        batch_imgs = np.concatenate(imgs + [imgs[0]] * (bs - n), axis=0)
+        shp = [np.asarray(samples[i][1]) for i in chunk]
+        shapes = np.concatenate(shp + [shp[0]] * (bs - n), axis=0)
+        images = shard_or_replicate(batch_imgs, mesh)
         preds = eval_step(state.params, state.batch_stats, images)
-        jax.block_until_ready(preds)
-        total_time += time.time() - start
-        if model_type == "table":
-            post_result = post_process_class(preds, batch_np)
-            eval_class(post_result, batch_np)
-        else:
-            post_result = post_process_class(preds, batch_np[1])
-            eval_class(post_result, batch_np)
-        total_frame += len(batch_np[0])
+        if pending is not None:
+            _finish(*pending)  # host postprocess overlaps this forward
+        pending = (chunk, preds, shapes)
+    if pending is not None:
+        _finish(*pending)
+
+    for i, b in enumerate(samples):
+        if per_sample[i] is not None:
+            eval_class(per_sample[i], b)
+    total_time = time.time() - loop_start
     metric = eval_class.get_metric()
-    metric["fps"] = total_frame / max(total_time, 1e-9)
+    # wall fps over forward + postprocess (the bs-1 path timed forward
+    # only; the batched number is the honest end-to-end eval rate)
+    metric["fps"] = len(samples) / max(total_time, 1e-9)
     return metric

@@ -30,6 +30,8 @@ declare -A CFG=(
   [mbv3]=configs/det/det_mbv3large05_db_synth.yml
   [starnet]=configs/rec/rec_vgg_tps_bilstm_ctc_synth.yml
   [bigvocab]=configs/rec/rec_vgg_bilstm_ctc_bigvocab.yml
+  [distill]=configs/det/distillation/det_distill_db_synth.yml
+  [dml]=configs/det/distillation/det_dml_db_synth.yml
 )
 # per-model -o overrides (e.g. trimmed epoch counts where convergence is
 # already known from a previous full run — DB's best epoch was 35-45/60)
@@ -53,32 +55,43 @@ declare -A OUT=(
   [mbv3]=./output/quality/det_mbv3large05_db_synth
   [starnet]=./output/quality/rec_starnet_synth
   [bigvocab]=./output/quality/rec_bigvocab_synth
+  [distill]=./output/quality/det_distill_db_synth
+  [dml]=./output/quality/det_dml_db_synth
 )
 
 # det-family models additionally get a distribution-shift eval (unseen
 # fonts/contrast/rotation — gen_synth_det.py --style shifted) so the
 # saturated in-distribution benchmark is not the only published number.
 SHIFTED_EVAL=./train_data/synthdet_shifted/eval_label.txt
-declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1)
-# models whose QUALITY.md rows publish an int8-PTQ column
-declare -A WANT_INT8=([db]=1 [rec]=1)
+declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1 [distill]=1 [dml]=1)
+# models whose QUALITY.md rows publish an int8-PTQ column (every det
+# family, so the "int8 is accuracy-neutral" claim covers the zoo)
+declare -A WANT_INT8=([db]=1 [rec]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1)
 
 run_one() {
   local name=$1 cfg=${CFG[$1]} out=${OUT[$1]}
-  echo "=== $(date +%H:%M:%S) TRAIN $name ($cfg) ===" | tee -a "$SUMMARY"
-  # shellcheck disable=SC2086 — OPTS is a space-separated -o list
-  timeout 14400 python tools/train.py -c "$cfg" \
-    ${OPTS[$name]:+-o ${OPTS[$name]}} \
-    > "/tmp/q_${name}.train.log" 2>&1
-  local rc=$?
-  echo "train $name rc=$rc" >> "$SUMMARY"
-  if [ ! -d "$out/best_accuracy" ]; then
-    echo "$name: no best_accuracy checkpoint, skipping eval" >> "$SUMMARY"
+  if [ -z "$EVAL_ONLY" ]; then
+    echo "=== $(date +%H:%M:%S) TRAIN $name ($cfg) ===" | tee -a "$SUMMARY"
+    # shellcheck disable=SC2086 — OPTS is a space-separated -o list
+    timeout 14400 python tools/train.py -c "$cfg" \
+      ${OPTS[$name]:+-o ${OPTS[$name]}} \
+      > "/tmp/q_${name}.train.log" 2>&1
+    local rc=$?
+    echo "train $name rc=$rc" >> "$SUMMARY"
+  fi
+  # eval best_accuracy; a partial run (timeout/round-end) still leaves
+  # `latest` — eval that instead so NO training ends unreported
+  # (round-3 lesson: the bigvocab run died with checkpoints but no
+  # RESULT.json)
+  local ck="$out/best_accuracy"
+  [ -d "$ck" ] || ck="$out/latest"
+  if [ ! -d "$ck" ]; then
+    echo "$name: no checkpoint at all, skipping eval" >> "$SUMMARY"
     return 1
   fi
-  echo "=== $(date +%H:%M:%S) EVAL $name ===" >> "$SUMMARY"
+  echo "=== $(date +%H:%M:%S) EVAL $name ($ck) ===" >> "$SUMMARY"
   timeout 3600 python tools/eval.py -c "$cfg" \
-    -o Global.checkpoints="$out/best_accuracy" \
+    -o Global.checkpoints="$ck" \
        Global.metric_json="$out/RESULT.json" \
     > "/tmp/q_${name}.eval.log" 2>&1
   echo "eval $name rc=$?" >> "$SUMMARY"
@@ -87,7 +100,7 @@ run_one() {
   if [ -n "${IS_DET[$name]}" ] && [ -f "$SHIFTED_EVAL" ]; then
     echo "=== $(date +%H:%M:%S) EVAL $name (shifted) ===" >> "$SUMMARY"
     timeout 3600 python tools/eval.py -c "$cfg" \
-      -o Global.checkpoints="$out/best_accuracy" \
+      -o Global.checkpoints="$ck" \
          Global.metric_json="$out/RESULT_shifted.json" \
          Eval.dataset.label_file_list="[$SHIFTED_EVAL]" \
       > "/tmp/q_${name}.eval_shifted.log" 2>&1
@@ -98,7 +111,7 @@ run_one() {
   if [ -n "${WANT_INT8[$name]}" ]; then
     echo "=== $(date +%H:%M:%S) EVAL $name (int8 PTQ) ===" >> "$SUMMARY"
     timeout 3600 python tools/eval.py -c "$cfg" \
-      -o Global.checkpoints="$out/best_accuracy" \
+      -o Global.checkpoints="$ck" \
          Global.metric_json="$out/RESULT_int8.json" \
          Global.quant=true Global.quant_calib_n=8 \
       > "/tmp/q_${name}.eval_int8.log" 2>&1
@@ -108,6 +121,14 @@ run_one() {
   fi
 }
 
+# --eval-only: skip training, (re)run the bf16/shifted/int8 eval legs on
+# whatever checkpoint exists — completes the int8+shifted matrix for
+# already-trained families without chip-hours of retraining.
+EVAL_ONLY=
+if [ "$1" = "--eval-only" ]; then
+  EVAL_ONLY=1
+  shift
+fi
 NAMES=("$@")
 [ ${#NAMES[@]} -eq 0 ] && NAMES=(db pan pse dbpp table cml)
 for n in "${NAMES[@]}"; do
