@@ -21,12 +21,27 @@ class _DecodeStep(nn.Module):
     loc_reg_num: int
     use_gru: bool
     teacher_forcing: bool
+    scheduled_sampling_p: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, carry, feats, feats_proj, token):
         rnn_state, prev_char = carry
-        char = token if self.teacher_forcing else prev_char
+        if self.teacher_forcing and self.scheduled_sampling_p > 0.0:
+            # scheduled sampling (Bengio et al. 2015): with prob p feed the
+            # model's own previous greedy prediction instead of the teacher
+            # token, closing the teacher-forcing/greedy-decode gap over the
+            # 501-step eval scan (the carry always holds the model's own
+            # argmax — see next_char below)
+            coin = jax.random.bernoulli(
+                self.make_rng("sample"), self.scheduled_sampling_p,
+                (token.shape[0],),
+            )
+            char = jnp.where(coin, prev_char, token)
+        elif self.teacher_forcing:
+            char = token
+        else:
+            char = prev_char
         onehot = jax.nn.one_hot(char, self.num_embeddings, dtype=feats.dtype)
 
         # attention over spatial positions
@@ -62,9 +77,12 @@ class _DecodeStep(nn.Module):
                      name="loc_fc2")(l).astype(jnp.float32)
         )
 
-        next_char = (
-            token if self.teacher_forcing else jnp.argmax(structure_step, axis=1)
-        )
+        if self.teacher_forcing and self.scheduled_sampling_p > 0.0:
+            next_char = jnp.argmax(structure_step, axis=1)  # own prediction
+        elif self.teacher_forcing:
+            next_char = token
+        else:
+            next_char = jnp.argmax(structure_step, axis=1)
         return (new_state, next_char), (structure_step, loc_step)
 
 
@@ -75,6 +93,9 @@ class SLAHead(nn.Module):
     max_text_length: int = 500
     loc_reg_num: int = 4
     use_gru: bool = True
+    # train-time scheduled-sampling probability (0 = pure teacher forcing,
+    # the reference's behavior); requires a "sample" rng at apply time
+    scheduled_sampling_p: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -103,10 +124,13 @@ class SLAHead(nn.Module):
             )
         init_char = jnp.zeros((n,), jnp.int32)
 
+        ss_p = float(self.scheduled_sampling_p) if (
+            teacher and self.has_rng("sample")
+        ) else 0.0
         Scan = nn.scan(
             _DecodeStep,
             variable_broadcast="params",
-            split_rngs={"params": False},
+            split_rngs={"params": False, "sample": True},
             in_axes=(nn.broadcast, nn.broadcast, 1),
             out_axes=1,
         )
@@ -116,6 +140,7 @@ class SLAHead(nn.Module):
             loc_reg_num=self.loc_reg_num,
             use_gru=self.use_gru,
             teacher_forcing=teacher,
+            scheduled_sampling_p=ss_p,
             dtype=self.dtype,
             name="decode",
         )((init_state, init_char), feats, feats_proj, tokens)

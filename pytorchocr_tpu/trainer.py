@@ -124,15 +124,22 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
         images = batch[0]
         if input_transform is not None:
             images = input_transform(images)
+        # per-step rng for stochastic train-time model behavior (SLAHead
+        # scheduled sampling); unused rngs are ignored by flax, so this is
+        # free for every other architecture
+        rngs = {"sample": jax.random.fold_in(jax.random.PRNGKey(17), state.step)}
 
         def forward(params, images, batch):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 return model.apply(
-                    variables, images, data=batch, train=True, mutable=["batch_stats"]
+                    variables, images, data=batch, train=True,
+                    mutable=["batch_stats"], rngs=rngs,
                 )
-            return model.apply(variables, images, data=batch, train=True), None
+            return model.apply(
+                variables, images, data=batch, train=True, rngs=rngs
+            ), None
 
         fwd = jax.checkpoint(forward) if remat else forward
 

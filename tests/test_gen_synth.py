@@ -154,16 +154,13 @@ def test_gen_synth_rec_bigvocab_deterministic(tmp_path):
         assert all(c in charset for c in label)
 
     # the packaged dict (what the config loads) must agree with the
-    # full-size generator output on this host's fonts; the packaged dict
-    # was produced with the pre-r4 single-font dedupe, so pin that mode
-    # (the default is now --dedupe_fonts all; a packaged-dict refresh
-    # drops this flag together with a benchmark regen + retrain)
+    # full-size generator output (default --dedupe_fonts all — the
+    # packaged dict is the r4 v2 refresh) on this host's fonts
     import subprocess as sp
     full = tmp_path / "full"
     sp.run(
         [sys.executable, os.path.join(GEN_DIR, "gen_synth_rec_bigvocab.py"),
-         "--out", str(full), "--train", "0", "--eval", "0", "--seed", "2022",
-         "--dedupe_fonts", "first"],
+         "--out", str(full), "--train", "0", "--eval", "0", "--seed", "2022"],
         cwd=GEN_DIR, check=True, capture_output=True, timeout=300,
     )
     with open(os.path.join(full, "char_dict.txt"), encoding="UTF-8") as f:

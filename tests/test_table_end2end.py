@@ -175,3 +175,56 @@ def test_table_structure_metric_token_acc_diagnostic():
     out = metric.get_metric()
     assert abs(out["acc"] - 1.0) < 1e-3
     assert abs(out["token_acc"] - 1.0) < 1e-6
+
+
+def test_sla_scheduled_sampling_and_label_smoothing():
+    """scheduled_sampling_p>0 with a "sample" rng: same param tree as pure
+    teacher forcing, different train-mode logits (own predictions fed for
+    ~p of the steps); without the rng it falls back to teacher forcing.
+    SLALoss label_smoothing>0 raises CE on a perfect prediction (soft
+    targets) but keeps the argmin at the target."""
+    from pytorchocr_tpu.losses.table_att_loss import SLALoss
+    from pytorchocr_tpu.modeling.heads.table_att_head import SLAHead
+
+    n, h, w, c, n_cls, T = 2, 4, 6, 16, 12, 10
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    structure = jax.random.randint(jax.random.PRNGKey(1), (n, T + 2), 0, n_cls)
+    data = [None, structure]
+
+    tf_head = SLAHead(in_channels=c, hidden_size=24, out_channels=n_cls,
+                      max_text_length=T, scheduled_sampling_p=0.0)
+    ss_head = SLAHead(in_channels=c, hidden_size=24, out_channels=n_cls,
+                      max_text_length=T, scheduled_sampling_p=0.9)
+    v_tf = tf_head.init(jax.random.PRNGKey(2), x, targets=data, train=True)
+    v_ss = ss_head.init(jax.random.PRNGKey(2), x, targets=data, train=True)
+    assert jax.tree.structure(v_tf) == jax.tree.structure(v_ss)
+
+    out_tf = tf_head.apply(v_tf, x, targets=data, train=True)
+    # without a "sample" rng: scheduled sampling is inert -> identical
+    out_ss_norng = ss_head.apply(v_tf, x, targets=data, train=True)
+    np.testing.assert_allclose(
+        out_tf["structure_probs"], out_ss_norng["structure_probs"], atol=1e-6
+    )
+    # with the rng: p=0.9 must change the fed tokens -> different logits
+    out_ss = ss_head.apply(
+        v_tf, x, targets=data, train=True,
+        rngs={"sample": jax.random.PRNGKey(3)},
+    )
+    assert not np.allclose(
+        out_tf["structure_probs"], out_ss["structure_probs"], atol=1e-6
+    )
+    # eval mode ignores scheduled sampling entirely
+    e1 = tf_head.apply(v_tf, x, train=False)
+    e2 = ss_head.apply(v_tf, x, train=False)
+    np.testing.assert_allclose(e1["structure_probs"], e2["structure_probs"],
+                               atol=1e-6)
+
+    # label smoothing
+    logits = jnp.full((1, 3, 5), -10.0).at[0, :, 2].set(10.0)
+    tgt = jnp.full((1, 4), 2, jnp.int32)
+    batch = [None, tgt,
+             jnp.zeros((1, 4, 8), jnp.float32), jnp.zeros((1, 4, 8), jnp.float32)]
+    preds = {"structure_probs": logits, "loc_preds": jnp.zeros((1, 3, 8))}
+    plain = SLALoss(1.0, 2.0)(preds, batch)
+    smooth = SLALoss(1.0, 2.0, label_smoothing=0.1)(preds, batch)
+    assert float(smooth["structure_loss"]) > float(plain["structure_loss"])

@@ -40,8 +40,7 @@ declare -A OPTS=(
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
   [starnet]="Global.epoch_num=250"
-  [bigvocab]="Global.eval_epoch_step=[40,10]"
-  [table]="Global.epoch_num=60 Global.eval_epoch_step=[25,5]"
+  [table]="Global.epoch_num=100 Global.eval_epoch_step=[40,10]"
 )
 declare -A OUT=(
   [db]=./output/quality/det_r18_db_synth
