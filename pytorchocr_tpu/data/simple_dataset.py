@@ -60,6 +60,27 @@ class SimpleDataSet:
             int(dataset_config.get("cache_decoded_mb", 2048)) * 2**20
         )
 
+        # Opt-in full-pipeline cache (dataset.cache_transformed: true),
+        # EVAL ONLY: eval transform chains are deterministic per sample
+        # (no stochastic augs), so the final KeepKeys tuple can be cached
+        # outright — every epoch-gated eval after the first skips decode +
+        # resize + normalize entirely.  Train chains are stochastic per
+        # epoch and must not be cached.
+        self.cache_transformed = bool(
+            dataset_config.get("cache_transformed", False)
+        )
+        if self.cache_transformed and self.mode == "train":
+            logger.warning(
+                "cache_transformed is eval-only (train augs are stochastic)"
+                " — disabled"
+            )
+            self.cache_transformed = False
+        self._out_cache = {}
+        self._out_cache_bytes = 0
+        self._out_cache_cap = (
+            int(dataset_config.get("cache_transformed_mb", 2048)) * 2**20
+        )
+
     def get_image_info_list(self, file_list, ratio_list):
         if isinstance(file_list, str):
             file_list = [file_list]
@@ -104,6 +125,10 @@ class SimpleDataSet:
 
     def __getitem__(self, idx):
         file_idx = self.data_idx_order_list[idx]
+        if self.cache_transformed:
+            cached = self._out_cache.get(file_idx)
+            if cached is not None:
+                return cached
         data_line = self.data_lines[file_idx]
         try:
             data_line = data_line.decode("UTF-8")
@@ -152,6 +177,13 @@ class SimpleDataSet:
                 else (idx + 1) % len(self)
             )
             return self.__getitem__(rnd_idx)
+        if self.cache_transformed:
+            nbytes = sum(
+                a.nbytes for a in outs if isinstance(a, np.ndarray)
+            )
+            if self._out_cache_bytes + nbytes <= self._out_cache_cap:
+                self._out_cache[file_idx] = outs
+                self._out_cache_bytes += nbytes
         return outs
 
     def __len__(self):

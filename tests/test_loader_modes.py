@@ -230,3 +230,57 @@ def test_bgjobs_reap_kills_registered_subtree(tmp_path):
         bystander.kill()
         if victim.poll() is None:
             victim.kill()
+
+
+def test_cache_transformed_eval_only_memoization(tmp_path):
+    """dataset.cache_transformed: eval-only full-pipeline memoization —
+    identical outputs, served-from-cache on repeat, disabled for train."""
+    import numpy as np
+    import cv2
+    from pytorchocr_tpu.data.simple_dataset import SimpleDataSet
+    from pytorchocr_tpu.utils.logging import get_logger
+
+    img = np.random.RandomState(1).randint(0, 255, (32, 48, 3), np.uint8)
+    p = str(tmp_path / "a.png")
+    cv2.imwrite(p, img)
+    label_file = str(tmp_path / "labels.txt")
+    with open(label_file, "w") as f:
+        f.write(f"{p}\tx\n")
+
+    def make(mode, cache):
+        cfg = {
+            "Global": {},
+            mode: {
+                "dataset": {
+                    "name": "SimpleDataSet",
+                    "label_file_list": [label_file],
+                    "cache_transformed": cache,
+                    "transforms": [
+                        {"DecodeImage": {"img_mode": "RGB"}},
+                        {"KeepKeys": {"keep_keys": ["image"]}},
+                    ],
+                },
+                "loader": {"shuffle": False, "batch_size_per_card": 1},
+            },
+        }
+        return SimpleDataSet(cfg, mode, get_logger())
+
+    ds_plain = make("Eval", False)
+    ds_cached = make("Eval", True)
+    a = ds_plain[0][0]
+    b1 = ds_cached[0][0]
+    assert len(ds_cached._out_cache) == 1
+    out2 = ds_cached[0]
+    assert out2 is ds_cached._out_cache[0]  # served from cache
+    np.testing.assert_array_equal(a, b1)
+    np.testing.assert_array_equal(b1, out2[0])
+
+    # train mode: flag is refused (stochastic augs would be frozen)
+    ds_train = make("Train", True)
+    assert not ds_train.cache_transformed
+
+    # cap 0: nothing cached, output still correct
+    ds_cap = make("Eval", True)
+    ds_cap._out_cache_cap = 0
+    np.testing.assert_array_equal(a, ds_cap[0][0])
+    assert len(ds_cap._out_cache) == 0
