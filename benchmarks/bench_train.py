@@ -43,7 +43,14 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--mfu", action="store_true",
                     help="print XLA cost-analysis FLOPs and bf16-peak MFU")
+    ap.add_argument("--xla", action="append", default=[],
+                    help="per-computation XLA option key=value (repeatable)"
+                    " — backward-pass flag sweep, e.g."
+                    " --xla xla_tpu_scoped_vmem_limit_kib=65536")
     args = ap.parse_args()
+    xla_opts = None
+    if args.xla:
+        xla_opts = dict(kv.split("=", 1) for kv in args.xla)
 
     import jax
     import jax.numpy as jnp
@@ -114,7 +121,8 @@ def main():
                 return multi(state, stacked)
             imgs_per_call = n * args.spd
         else:
-            inner = make_train_step(model, loss_fn, tx, mesh, remat=args.remat)
+            inner = make_train_step(model, loss_fn, tx, mesh, remat=args.remat,
+                                    compiler_options=xla_opts)
             dbatch = tuple(shard_batch(jnp.asarray(x), mesh) for x in batch)
             def step(state, _):
                 return inner(state, dbatch)
@@ -168,7 +176,8 @@ def main():
             # re-lower the real step fn for cost analysis
             if args.mode == "full" and args.spd == 1:
                 inner2 = make_train_step(model, loss_fn, tx, mesh, donate=False,
-                                         remat=args.remat)
+                                         remat=args.remat,
+                                         compiler_options=xla_opts)
                 dbatch2 = tuple(shard_batch(jnp.asarray(x), mesh) for x in batch)
                 cost = jax.jit(inner2).lower(state, dbatch2).compile().cost_analysis()
             else:

@@ -109,7 +109,7 @@ def build_input_transform(spec):
 
 
 def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
-                    input_transform=None):
+                    input_transform=None, compiler_options=None):
     """Build the jitted train step.
 
     batch is a tuple of arrays; batch[0] is the NHWC image tensor; the loss
@@ -118,6 +118,9 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
     — trades ~30% step FLOPs for activation memory, enabling larger
     batches/resolutions per chip.  input_transform (optional) normalizes
     the raw uint8 image tensor on device (Global.device_normalize).
+    compiler_options (optional dict) forwards per-computation XLA options
+    (e.g. {"xla_tpu_scoped_vmem_limit_kib": "65536"}) — used by
+    benchmarks/bench_train.py's backward-pass flag sweep.
     """
 
     def step_fn(state: TrainState, batch):
@@ -171,6 +174,7 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
         in_shardings=(repl, data),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
     )
 
 
