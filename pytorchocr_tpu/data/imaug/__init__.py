@@ -33,6 +33,7 @@ from .rec_img_aug import (  # noqa: F401
 )
 from .randaugment import RandAugment  # noqa: F401
 from .iaa_augment import IaaAugment  # noqa: F401
+from .fused_aug_crop import FusedDetAugCrop  # noqa: F401
 from .random_crop_data import EastRandomCropData, RandomCropImgMask  # noqa: F401
 from .make_shrink_map import MakeShrinkMap  # noqa: F401
 from .make_border_map import MakeBorderMap  # noqa: F401
