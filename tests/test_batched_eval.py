@@ -137,3 +137,58 @@ def test_slice_post_dict():
     pr = {"Student": ["a", "b"], "Teacher": ["c", "d"]}
     assert program._slice_post(pr, 1) == {"Student": ["b"], "Teacher": ["d"]}
     assert program._slice_post(["x", "y"], 0) == ["x"]
+
+
+def test_batched_evaluate_distillation_dict_contract():
+    """DistillationModel eval: preds are {model: {"maps": ...}}, the
+    postprocess returns {model: per-sample boxes}, DistillationMetric
+    accumulates per model — the bucketed path must slice and feed that
+    dict shape identically to the bs-1 loop."""
+    from pytorchocr_tpu.metrics import build_metric
+    from pytorchocr_tpu.postprocess import build_post_process
+
+    def stub_eval_step(params, batch_stats, images):
+        maps = np.asarray(images, dtype=np.float32).mean(axis=-1, keepdims=True)
+        return {"Student": {"maps": maps}, "Student2": {"maps": maps * 0.9}}
+
+    def components():
+        post = build_post_process(
+            {
+                "name": "DistillationDBPostProcess",
+                "model_name": ["Student", "Student2"],
+                "thresh": 0.3,
+                "box_thresh": 0.5,
+                "max_candidates": 100,
+                "unclip_ratio": 0.4,
+                "score_mode": "poly",
+            },
+            {},
+        )
+        metric = build_metric(
+            {
+                "name": "DistillationMetric",
+                "base_metric_name": "DetMetric",
+                "main_indicator": "hmean",
+                "keys": ["Student", "Student2"],
+            }
+        )
+        return post, metric
+
+    samples = _make_samples()
+    mesh = create_mesh()
+
+    post, metric = components()
+    for b in samples:
+        preds = stub_eval_step({}, {}, b[0])
+        metric(post(preds, b[1]), b)
+    ref = metric.get_metric()
+
+    post, metric = components()
+    got = program.evaluate(
+        _StubState(), stub_eval_step, mesh, list(samples), post, metric,
+        model_type="det",
+    )
+    assert got.pop("fps") > 0
+    for k, v in ref.items():
+        assert got[k] == v, (k, got[k], v)
+    assert ref["hmean"] > 0.5
