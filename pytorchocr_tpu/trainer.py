@@ -108,8 +108,27 @@ def build_input_transform(spec):
     return transform
 
 
+def _mask_frozen_updates(updates, step, frozen):
+    """Zero optimizer updates for top-level param subtrees that are frozen
+    at `step`.  frozen: iterable of (prefix, until_step) — the subtree
+    receives no updates while step < until_step (until_step huge => whole
+    run).  Used for STAR-Net's TPS warm-start: under all-blank CTC
+    gradients an unfrozen localization net warps inputs into
+    illegibility before the CTC can align (measured r4: corr-with-source
+    0.15-0.3 by step 1600, loss pinned at 3.8)."""
+    for prefix, until in frozen:
+        if prefix not in updates:
+            continue
+        gate = (step >= until)
+        updates = dict(updates)
+        updates[prefix] = jax.tree.map(
+            lambda u: u * gate.astype(u.dtype), updates[prefix]
+        )
+    return updates
+
+
 def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
-                    input_transform=None, compiler_options=None):
+                    input_transform=None, compiler_options=None, frozen=()):
     """Build the jitted train step.
 
     batch is a tuple of arrays; batch[0] is the NHWC image tensor; the loss
@@ -158,6 +177,8 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
             loss_inner, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if frozen:
+            updates = _mask_frozen_updates(updates, state.step, frozen)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=new_params,
@@ -179,7 +200,7 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
 
 
 def make_multi_train_step(model, loss_fn, tx, mesh, donate=True,
-                          input_transform=None):
+                          input_transform=None, frozen=()):
     """Train step over STACKED batches: batch leaves have a leading
     `steps` axis and the step runs as one on-device lax.scan.
 
@@ -214,6 +235,8 @@ def make_multi_train_step(model, loss_fn, tx, mesh, donate=True,
             loss_inner, has_aux=True
         )(state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        if frozen:
+            updates = _mask_frozen_updates(updates, state.step, frozen)
         new_params = optax.apply_updates(state.params, updates)
         return (
             state.replace(

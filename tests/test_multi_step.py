@@ -153,3 +153,62 @@ def test_multi_step_applies_input_transform():
     assert not np.allclose(
         np.asarray(losses_b["loss"]), np.asarray(losses_raw["loss"]), rtol=1e-3
     )
+
+
+def test_frozen_transform_updates_gated_by_step():
+    """Global.freeze_transform_epochs: the transform subtree receives no
+    optimizer updates while step < until_step, then starts moving."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pytorchocr_tpu.losses import build_loss
+    from pytorchocr_tpu.modeling import build_model
+    from pytorchocr_tpu.optimizer import build_optimizer
+    from pytorchocr_tpu.parallel.mesh import create_mesh, shard_batch
+    from pytorchocr_tpu.trainer import create_train_state, make_train_step
+
+    cfg = {
+        "model_type": "rec", "algorithm": "CRNN", "in_channels": 1,
+        "Transform": {"name": "TPS", "num_fiducial": 20, "model_name": "small"},
+        "Backbone": {"name": "VGG", "model_name": "v1", "scale": 0.5},
+        "Neck": {"name": "SequenceEncoder", "encoder_type": "rnn",
+                 "hidden_size": 32},
+        "Head": {"name": "CTCHead", "out_channels": 37},
+    }
+    model = build_model(cfg)
+    loss_fn = build_loss({"name": "CTCLoss"})
+    tx, _ = build_optimizer(
+        {"base_lr": 0.01, "optim": {"name": "Adam"},
+         "lr_decay": {"name": "WarmupPolyLR", "warmup_epoch": 0, "power": 0.9}},
+        epochs=1, step_each_epoch=10,
+    )
+    mesh = create_mesh()
+    rng = np.random.RandomState(0)
+    batch = (
+        rng.rand(8, 32, 100, 1).astype(np.float32),
+        rng.randint(1, 37, (8, 25)).astype(np.int32),
+        np.full((8,), 5, np.int32),
+    )
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, loss_fn, tx, mesh, donate=False,
+                           frozen=(("transform", 2),))
+    dbatch = tuple(shard_batch(jnp.asarray(x), mesh) for x in batch)
+
+    t0 = jax.tree.map(np.asarray, state.params["transform"])
+    b0 = jax.tree.map(np.asarray, state.params["backbone"])
+    state, _ = step(state, dbatch)   # state.step 0 -> frozen
+    state, _ = step(state, dbatch)   # state.step 1 -> frozen
+    t1 = state.params["transform"]
+    same = jax.tree.map(lambda a, b: np.array_equal(a, np.asarray(b)), t0, t1)
+    assert all(jax.tree.leaves(same)), "transform moved while frozen"
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), b0,
+        state.params["backbone"],
+    )
+    assert any(jax.tree.leaves(changed)), "backbone should train"
+    state, _ = step(state, dbatch)   # state.step 2 -> unfrozen
+    t2 = state.params["transform"]
+    moved = jax.tree.map(
+        lambda a, b: not np.allclose(a, np.asarray(b)), t0, t2)
+    assert any(jax.tree.leaves(moved)), "transform should unfreeze at step 2"

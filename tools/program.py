@@ -350,9 +350,23 @@ def train(
     # Global.remat: rematerialize the forward in backward (jax.checkpoint)
     remat = bool(global_config.get("remat", False))
     _dn_spec = global_config.get("_device_normalize_spec", {})
+    # Global.freeze_transform_epochs: N — zero the Transform subtree's
+    # optimizer updates for the first N epochs (STAR-Net warm start: let
+    # the CTC escape the all-blank plateau on unwarped images before the
+    # TPS localization starts moving; unfrozen TPS under blank gradients
+    # warps inputs into illegibility and the loss never escapes)
+    freeze_tf_epochs = int(global_config.get("freeze_transform_epochs", 0))
+    frozen = ()
+    if freeze_tf_epochs > 0:
+        frozen = (("transform", freeze_tf_epochs * len(train_dataloader)),)
+        logger.info(
+            "Transform params frozen for the first %d epochs (%d steps)",
+            freeze_tf_epochs, frozen[0][1],
+        )
     train_step = make_train_step(
         model, loss_class, tx, mesh, remat=remat,
         input_transform=build_input_transform(_dn_spec.get("Train")),
+        frozen=frozen,
     )
     eval_step = make_eval_step(
         model, mesh, input_transform=build_input_transform(_dn_spec.get("Eval"))
@@ -369,6 +383,7 @@ def train(
         multi_step = make_multi_train_step(
             model, loss_class, tx, mesh,
             input_transform=build_input_transform(_dn_spec.get("Train")),
+            frozen=frozen,
         )
 
     # tracing/profiling subsystem: Global.use_profiler captures an
