@@ -160,10 +160,19 @@ class TPS(nn.Module):
         inv_delta_C = jnp.asarray(_build_inv_delta_C(C), jnp.float32)
         P_hat = jnp.asarray(_build_P_hat(C, h, w), jnp.float32)
 
-        # get_expand: learned 3x2 tail appended to C' (reference tps.py:203-207)
-        ex = nn.Dense(6, dtype=jnp.float32, param_dtype=jnp.float32, name="fc")(
-            batch_C_prime.reshape(n, F * 2)
-        ).reshape(n, 3, 2)
+        # get_expand: learned 3x2 tail appended to C' (reference
+        # tps.py:203-207).  ZERO-initialized: the TPS solve requires the
+        # 3 constraint rows to be zero (clovaai's original appends literal
+        # zeros); the reference feeds a randomly-initialized Linear there
+        # instead, which scrambles the init warp (measured: rectified
+        # output decorrelates from the source, corr -0.1 vs 0.68 for the
+        # intended RARE Fig-6a init) and CTC never escapes the all-blank
+        # plateau.  Zero init keeps the learned tail but starts exact.
+        ex = nn.Dense(
+            6,
+            kernel_init=nn.initializers.zeros,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="fc",
+        )(batch_C_prime.reshape(n, F * 2)).reshape(n, 3, 2)
         C_prime_with_zeros = jnp.concatenate([batch_C_prime, ex], axis=1)  # (N,F+3,2)
         T = jnp.einsum("ij,njk->nik", inv_delta_C, C_prime_with_zeros)
         P_prime = jnp.einsum("pj,njk->npk", P_hat, T)  # (N, h*w, 2)

@@ -39,7 +39,7 @@ declare -A OPTS=(
   [db]="Global.epoch_num=45"
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
-  [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=100"
+  [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60"
   [table]="Global.epoch_num=100 Global.eval_epoch_step=[40,10]"
 )
 declare -A OUT=(
