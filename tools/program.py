@@ -690,7 +690,17 @@ def train(
                     global_step,
                 )
 
-        if jax.process_index() == 0:
+        if jax.process_index() == 0 and (
+            # Global.save_latest_epoch_step: throttle the per-epoch
+            # `latest` checkpoint (default 1 = reference behavior).  On a
+            # tunneled chip the orbax save costs 2-4 s/epoch — for a
+            # 15-s-epoch rec run that is a third of the wall clock; saving
+            # every N epochs trades up to N-1 epochs of resume granularity
+            # for it.  The final epoch always saves.
+            (epoch + 1) % int(global_config.get("save_latest_epoch_step", 1))
+            == 0
+            or epoch + 1 == epoch_num
+        ):
             global_state["start_epoch"] = epoch + 1  # resume AFTER this epoch
             global_state["best_model"] = best_model_dict
             global_state["global_step"] = global_step

@@ -37,9 +37,10 @@ declare -A CFG=(
 # already known from a previous full run — DB's best epoch was 35-45/60)
 declare -A OPTS=(
   [db]="Global.epoch_num=45"
+  [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
-  [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60"
+  [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60 Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [table]="Global.epoch_num=100 Global.eval_epoch_step=[40,10]"
 )
 declare -A OUT=(
