@@ -53,7 +53,16 @@ def _swap_dirs(staging, path):
 def _restore_pytree(path, target=None):
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            return ckptr.restore(path, item=jax.device_get(target))
+            # the item only provides structure/shape/dtype — build it on
+            # host instead of jax.device_get(target), which round-trips
+            # the entire freshly-initialized state through the (tunneled)
+            # device client for nothing and has wedged there (r4: two
+            # eval.py processes parked forever in that D2H with the
+            # tunnel socket idle)
+            skeleton = jax.tree.map(
+                lambda a: np.zeros(a.shape, a.dtype), target
+            )
+            return ckptr.restore(path, item=skeleton)
         return ckptr.restore(path)
 
 
@@ -201,12 +210,20 @@ def _merge_trees(target, source, path=""):
                 logger.warning("pretrained missing key %s", path + "/" + str(k))
                 out[k] = v
         return out
-    t_arr = np.asarray(target)
-    s_arr = np.asarray(source)
-    if t_arr.shape != s_arr.shape:
+    # compare shapes WITHOUT materializing the target: np.asarray on a
+    # device array is a full D2H transfer per leaf (through the TPU
+    # tunnel that is minutes of wasted wall per model, and the transfer
+    # has wedged the tunneled client — see _restore_pytree)
+    t_shape = getattr(target, "shape", None)
+    if t_shape is None:
+        t_shape = np.asarray(target).shape
+    s_shape = getattr(source, "shape", None)
+    if s_shape is None:
+        s_shape = np.asarray(source).shape
+    if tuple(t_shape) != tuple(s_shape):
         logger.warning(
             "shape mismatch at %s: %s vs %s — keeping init",
-            path, t_arr.shape, s_arr.shape,
+            path, t_shape, s_shape,
         )
         return target
     return source
@@ -291,13 +308,14 @@ def load_pretrained_params(state, path, logger=None):
     assert os.path.exists(path), "The {} does not exist!".format(path)
     restored = _restore_pytree(path)
     src_params = migrate_fused_bilstm(restored.get("params", restored))
-    new_params = _merge_trees(jax.device_get(state.params), src_params)
+    # no device_get: _merge_trees keeps untouched leaves as-is (device
+    # arrays stay on device; loaded leaves arrive as host numpy and are
+    # device_put lazily by the first jitted step)
+    new_params = _merge_trees(state.params, src_params)
     new_state = state.replace(params=new_params)
     if "batch_stats" in restored and state.batch_stats:
         new_state = new_state.replace(
-            batch_stats=_merge_trees(
-                jax.device_get(state.batch_stats), restored["batch_stats"]
-            )
+            batch_stats=_merge_trees(state.batch_stats, restored["batch_stats"])
         )
     logger.info("load pretrain successful from {}".format(path))
     return new_state
