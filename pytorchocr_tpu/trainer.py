@@ -24,8 +24,7 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray  # int32 scalar
 
 
-def create_train_state(model, tx, rng, example_batch, frozen_prefixes=(),
-                       input_transform=None):
+def create_train_state(model, tx, rng, example_batch, input_transform=None):
     """Initialize params/batch_stats from an example batch (host numpy).
     input_transform (Global.device_normalize) maps the raw uint8 image
     tensor to the normalized floats the model actually sees."""
