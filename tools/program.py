@@ -436,7 +436,10 @@ def train(
     # crosses the limit at an epoch boundary, the freshly-saved `latest`
     # checkpoint is re-exec'd into a clean process (resume is exact:
     # state/opt_state/global_step round-trip through orbax).  0 disables.
-    max_host_rss_gb = float(global_config.get("max_host_rss_gb", 64))
+    # default 96 on this 125 GB host (was 64: det distillation runs leaked
+    # past it every ~20 epochs, paying a ~5 min re-exec each time; 96
+    # halves the re-exec count with >25 GB of kernel headroom)
+    max_host_rss_gb = float(global_config.get("max_host_rss_gb", 96))
 
     # Checkpoint-save hang watchdog: a wedged device client blocks the
     # device_get inside save forever (observed once after ~2h through the
