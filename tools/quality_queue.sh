@@ -32,12 +32,18 @@ declare -A CFG=(
   [bigvocab]=configs/rec/rec_vgg_bilstm_ctc_bigvocab.yml
   [distill]=configs/det/distillation/det_distill_db_synth.yml
   [dml]=configs/det/distillation/det_dml_db_synth.yml
+  # DML continuation: the teacher-free mode converges far slower than
+  # the bootstrapped ones (0.58 hmean at the shared 40-epoch budget,
+  # still climbing) — resume latest for 40 more epochs
+  [dmlx]=configs/det/distillation/det_dml_db_synth.yml
 )
 # per-model -o overrides (e.g. trimmed epoch counts where convergence is
 # already known from a previous full run — DB's best epoch was 35-45/60)
 declare -A OPTS=(
   [db]="Global.epoch_num=45"
-  [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
+  [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5 Global.epoch_num=50"
+  [dmlx]="Global.epoch_num=80 Global.checkpoints=./output/quality/det_dml_db_synth/latest"
+  [pan]="Global.epoch_num=35"
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
   [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60 Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
@@ -57,13 +63,14 @@ declare -A OUT=(
   [bigvocab]=./output/quality/rec_bigvocab_synth
   [distill]=./output/quality/det_distill_db_synth
   [dml]=./output/quality/det_dml_db_synth
+  [dmlx]=./output/quality/det_dml_db_synth
 )
 
 # det-family models additionally get a distribution-shift eval (unseen
 # fonts/contrast/rotation — gen_synth_det.py --style shifted) so the
 # saturated in-distribution benchmark is not the only published number.
 SHIFTED_EVAL=./train_data/synthdet_shifted/eval_label.txt
-declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1 [distill]=1 [dml]=1)
+declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1 [distill]=1 [dml]=1 [dmlx]=1)
 # models whose QUALITY.md rows publish an int8-PTQ column (every det
 # family, so the "int8 is accuracy-neutral" claim covers the zoo)
 declare -A WANT_INT8=([db]=1 [rec]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1)
@@ -90,31 +97,42 @@ run_one() {
     return 1
   fi
   echo "=== $(date +%H:%M:%S) EVAL $name ($ck) ===" >> "$SUMMARY"
-  timeout 3600 python tools/eval.py -c "$cfg" \
-    -o Global.checkpoints="$ck" \
-       Global.metric_json="$out/RESULT.json" \
-    > "/tmp/q_${name}.eval.log" 2>&1
+  # bounded timeout + one retry: the tunneled client intermittently
+  # wedges a fresh eval process (all threads futex-parked, socket idle)
+  for attempt in 1 2; do
+    timeout 900 python tools/eval.py -c "$cfg" \
+      -o Global.checkpoints="$ck" \
+         Global.metric_json="$out/RESULT.json" \
+      > "/tmp/q_${name}.eval.log" 2>&1 && break
+    sleep 20
+  done
   echo "eval $name rc=$?" >> "$SUMMARY"
   cp "/tmp/q_${name}.eval.log" "$out/eval.log"
   grep -h -A6 "metric eval" "/tmp/q_${name}.eval.log" | tail -7 >> "$SUMMARY"
   if [ -n "${IS_DET[$name]}" ] && [ -f "$SHIFTED_EVAL" ]; then
     echo "=== $(date +%H:%M:%S) EVAL $name (shifted) ===" >> "$SUMMARY"
-    timeout 3600 python tools/eval.py -c "$cfg" \
-      -o Global.checkpoints="$ck" \
-         Global.metric_json="$out/RESULT_shifted.json" \
-         Eval.dataset.label_file_list="[$SHIFTED_EVAL]" \
-      > "/tmp/q_${name}.eval_shifted.log" 2>&1
+    for attempt in 1 2; do
+      timeout 900 python tools/eval.py -c "$cfg" \
+        -o Global.checkpoints="$ck" \
+           Global.metric_json="$out/RESULT_shifted.json" \
+           Eval.dataset.label_file_list="[$SHIFTED_EVAL]" \
+        > "/tmp/q_${name}.eval_shifted.log" 2>&1 && break
+      sleep 20
+    done
     echo "eval-shifted $name rc=$?" >> "$SUMMARY"
     cp "/tmp/q_${name}.eval_shifted.log" "$out/eval_shifted.log"
     grep -h -A6 "metric eval" "/tmp/q_${name}.eval_shifted.log" | tail -7 >> "$SUMMARY"
   fi
   if [ -n "${WANT_INT8[$name]}" ]; then
     echo "=== $(date +%H:%M:%S) EVAL $name (int8 PTQ) ===" >> "$SUMMARY"
-    timeout 3600 python tools/eval.py -c "$cfg" \
-      -o Global.checkpoints="$ck" \
-         Global.metric_json="$out/RESULT_int8.json" \
-         Global.quant=true Global.quant_calib_n=8 \
-      > "/tmp/q_${name}.eval_int8.log" 2>&1
+    for attempt in 1 2; do
+      timeout 900 python tools/eval.py -c "$cfg" \
+        -o Global.checkpoints="$ck" \
+           Global.metric_json="$out/RESULT_int8.json" \
+           Global.quant=true Global.quant_calib_n=8 \
+        > "/tmp/q_${name}.eval_int8.log" 2>&1 && break
+      sleep 20
+    done
     echo "eval-int8 $name rc=$?" >> "$SUMMARY"
     cp "/tmp/q_${name}.eval_int8.log" "$out/eval_int8.log"
     grep -h -A6 "metric eval" "/tmp/q_${name}.eval_int8.log" | tail -7 >> "$SUMMARY"
