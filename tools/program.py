@@ -780,7 +780,10 @@ def evaluate(
     forward.  Because only the batch axis is stacked (never the spatial
     dims — same grouping the deploy path uses, deploy/infer_det.py
     run_batch) every per-sample activation is computed at the same shape
-    as the bs-1 path, so metrics are identical; per-sample dispatch and
+    as the bs-1 path, so metrics are equivalent (bf16 conv tiling can
+    differ across batch sizes, flipping borderline detections at the
+    ~0.001 hmean level; measured: in-dist DB identical to 16 digits,
+    shifted 0.7791 vs 0.7781); per-sample dispatch and
     tunnel-RTT cost is amortized ~16x.  The metric is fed per sample in
     input order with the loader's own batch tuples, so the accumulation
     protocol is untouched.  Table decode consumes the whole batch dict in
