@@ -108,13 +108,21 @@ def build_input_transform(spec):
 
 
 def _mask_frozen_updates(updates, step, frozen):
-    """Zero optimizer updates for top-level param subtrees that are frozen
-    at `step`.  frozen: iterable of (prefix, until_step) — the subtree
-    receives no updates while step < until_step (until_step huge => whole
-    run).  Used for STAR-Net's TPS warm-start: under all-blank CTC
-    gradients an unfrozen localization net warps inputs into
+    """Zero a gradient/update pytree for top-level param subtrees that are
+    frozen at `step`.  frozen: iterable of (prefix, until_step) — the
+    subtree receives no updates while step < until_step (until_step huge
+    => whole run).  Used for STAR-Net's TPS warm-start: under all-blank
+    CTC gradients an unfrozen localization net warps inputs into
     illegibility before the CTC can align (measured r4: corr-with-source
-    0.15-0.3 by step 1600, loss pinned at 3.8)."""
+    0.15-0.3 by step 1600, loss pinned at 3.8).
+
+    Applied to GRADS (before tx.update) so Adam moments / global-norm
+    clipping never accumulate the frozen subtree's gradients during the
+    freeze — at unfreeze the subtree starts from clean optimizer state
+    rather than a stale-momentum first step — AND to the resulting
+    updates (after tx.update) so transforms that emit param-dependent
+    terms with zero grads (additive weight decay) cannot move frozen
+    params either."""
     for prefix, until in frozen:
         if prefix not in updates:
             continue
@@ -175,6 +183,8 @@ def make_train_step(model, loss_fn, tx, mesh, donate=True, remat=False,
         (loss_val, (losses, new_bs)), grads = jax.value_and_grad(
             loss_inner, has_aux=True
         )(state.params)
+        if frozen:
+            grads = _mask_frozen_updates(grads, state.step, frozen)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         if frozen:
             updates = _mask_frozen_updates(updates, state.step, frozen)
@@ -215,17 +225,24 @@ def make_multi_train_step(model, loss_fn, tx, mesh, donate=True,
         images = batch[0]
         if input_transform is not None:
             images = input_transform(images)
+        # same per-step rng contract as make_train_step: without it,
+        # SLAHead scheduled sampling silently degrades to teacher forcing
+        # whenever Global.steps_per_dispatch > 1
+        rngs = {"sample": jax.random.fold_in(jax.random.PRNGKey(17), state.step)}
 
         def loss_inner(params):
             variables = {"params": params}
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 preds, mutated = model.apply(
-                    variables, images, data=batch, train=True, mutable=["batch_stats"]
+                    variables, images, data=batch, train=True,
+                    mutable=["batch_stats"], rngs=rngs,
                 )
                 new_bs = mutated["batch_stats"]
             else:
-                preds = model.apply(variables, images, data=batch, train=True)
+                preds = model.apply(
+                    variables, images, data=batch, train=True, rngs=rngs
+                )
                 new_bs = state.batch_stats
             losses = loss_fn(preds, batch)
             return losses["loss"], (losses, new_bs)
@@ -233,6 +250,8 @@ def make_multi_train_step(model, loss_fn, tx, mesh, donate=True,
         (_, (losses, new_bs)), grads = jax.value_and_grad(
             loss_inner, has_aux=True
         )(state.params)
+        if frozen:
+            grads = _mask_frozen_updates(grads, state.step, frozen)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         if frozen:
             updates = _mask_frozen_updates(updates, state.step, frozen)

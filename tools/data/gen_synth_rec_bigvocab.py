@@ -136,8 +136,9 @@ def build_charset(fonts, active_n, rng, dedupe_fonts="all"):
     chars = _renderable_codepoints(fonts)
     if dedupe_fonts == "all":
         chars = _dedupe_by_glyph_all_fonts(chars, fonts)
-    else:  # "first": the pre-r4 behavior, kept so the published v1
-        # benchmark (packaged char_dict_bigvocab.txt) stays reproducible
+    else:  # "first": the pre-r4 behavior, kept so the retired v1
+        # benchmark's dict (git history only; the packaged
+        # char_dict_bigvocab.txt is the 'all' output) stays reproducible
         chars = _dedupe_by_glyph(chars, fonts[0])
     ascii_core = [c for c in chars if ord(c) < 0x7F]
     rest = [c for c in chars if ord(c) >= 0x7F]
@@ -213,9 +214,10 @@ def main():
     ap.add_argument("--seed", type=int, default=2022)
     ap.add_argument("--dedupe_fonts", choices=["all", "first"], default="all",
                     help="homoglyph dedupe scope: 'all' (default) requires "
-                    "glyphs distinct in every render font; 'first' is the "
-                    "pre-r4 behavior that produced the packaged "
-                    "char_dict_bigvocab.txt")
+                    "glyphs distinct in every render font and produces the "
+                    "packaged (v2) char_dict_bigvocab.txt; 'first' is the "
+                    "pre-r4 behavior that produced the retired v1 dict "
+                    "(preserved only in git history)")
     args = ap.parse_args()
 
     fonts = _fonts()

@@ -711,15 +711,21 @@ def train(
                 state, global_state, config, save_model_dir, logger,
                 is_best=False, prefix="latest",
             )
-            if (
-                ckpt_save_type == "FixedEpochStep"
-                and epoch + 1 > 0
-                and (epoch + 1) % save_epoch_step == 0
-            ):
-                _save_with_timeout(
-                    state, global_state, config, save_model_dir, logger,
-                    is_best=False, prefix="epoch_{}".format(epoch),
-                )
+        # periodic epoch_{k} checkpoints are independent of the `latest`
+        # throttle: a save_latest_epoch_step that does not divide
+        # save_epoch_step must not silently skip them
+        if (
+            ckpt_save_type == "FixedEpochStep"
+            and epoch + 1 > 0
+            and (epoch + 1) % save_epoch_step == 0
+        ):
+            global_state["start_epoch"] = epoch + 1
+            global_state["best_model"] = best_model_dict
+            global_state["global_step"] = global_step
+            _save_with_timeout(
+                state, global_state, config, save_model_dir, logger,
+                is_best=False, prefix="epoch_{}".format(epoch),
+            )
 
         if (
             max_host_rss_gb > 0
@@ -728,6 +734,17 @@ def train(
             and _host_rss_gb() > max_host_rss_gb
         ):
             latest = os.path.abspath(os.path.join(save_model_dir, "latest"))
+            # force a current `latest` before re-exec: under the
+            # save_latest_epoch_step throttle the on-disk latest can be up
+            # to N-1 epochs stale (or absent entirely early in a run, which
+            # would crash load_model in the re-exec'd process)
+            global_state["start_epoch"] = epoch + 1
+            global_state["best_model"] = best_model_dict
+            global_state["global_step"] = global_step
+            _save_with_timeout(
+                state, global_state, config, save_model_dir, logger,
+                is_best=False, prefix="latest",
+            )
             logger.warning(
                 "host RSS %.1f GB > Global.max_host_rss_gb=%.0f "
                 "(per-transfer host-memory leak in the tunneled PJRT "
@@ -753,9 +770,15 @@ def train(
 
 def _slice_post(post_result, j):
     """One sample of a batched postprocess output as a length-1 batch.
-    Dict-valued results (DistillationDBPostProcess) slice per sub-model."""
+    Dict-valued results (DistillationDBPostProcess) slice per sub-model;
+    tuple-valued results (CTCLabelDecode with labels -> (texts, labels))
+    slice each element — plain ``post_result[j:j+1]`` on a tuple would
+    slice the tuple itself and silently corrupt per-sample metrics for
+    any rec/cls model evaluated through a batch-size-1 loader."""
     if isinstance(post_result, dict):
         return {k: v[j : j + 1] for k, v in post_result.items()}
+    if isinstance(post_result, tuple):
+        return tuple(v[j : j + 1] for v in post_result)
     return post_result[j : j + 1]
 
 

@@ -41,7 +41,7 @@ declare -A CFG=(
 # already known from a previous full run — DB's best epoch was 35-45/60)
 declare -A OPTS=(
   [db]="Global.epoch_num=45"
-  [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5 Global.epoch_num=50"
+  [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [dmlx]="Global.epoch_num=80 Global.checkpoints=./output/quality/det_dml_db_synth/latest"
   [pan]="Global.epoch_num=35"
   [dbpp]="Global.epoch_num=40"
