@@ -256,6 +256,25 @@ class TableLabelEncode(AttnLabelEncode):
         structure = self.encode(new_structure)
         if structure is None:
             return None
+        # auxiliary row/column-count supervision targets (SLAHead
+        # aux_count branch): rows = closed <tr>s; cols = column count of
+        # the first row, with colspan attributes widening their cell.
+        # Emitted unconditionally (scalars are ~free); configs opt in by
+        # listing row_cnt/col_cnt in keep_keys.
+        rows = new_structure.count("</tr>")
+        cols = 0
+        for token in new_structure:
+            if token == "</tr>":
+                break
+            if token in self.td_token:
+                cols += 1
+            elif "colspan" in token:
+                try:
+                    cols += int(token.split('"')[1]) - 1
+                except (IndexError, ValueError):
+                    pass
+        data["row_cnt"] = np.int32(min(rows, 31))
+        data["col_cnt"] = np.int32(min(cols, 31))
         structure = [self.start_idx] + structure + [self.end_idx]
         structure = structure + [self.pad_idx] * (self._max_text_len - len(structure))
         structure = np.array(structure)

@@ -96,6 +96,17 @@ class SLAHead(nn.Module):
     # train-time scheduled-sampling probability (0 = pure teacher forcing,
     # the reference's behavior); requires a "sample" rng at apply time
     scheduled_sampling_p: float = 0.0
+    # auxiliary row/column-count branch (round-5 addition, targeting the
+    # measured failure mode: essentially ALL residual exact-match errors
+    # are row/col COUNT errors — QUALITY.md SLANet analysis).  A learned
+    # attention-pooling over the encoder features predicts the table's
+    # row and column counts (CE-supervised via SLALoss aux_count_weight
+    # against TableLabelEncode's row_cnt/col_cnt), and the pooled count
+    # evidence CONDITIONS the decoder's initial RNN state — the decoder
+    # starts each sequence knowing how many rows/columns the encoder saw
+    # instead of discovering it token by token.
+    aux_count: bool = False
+    max_count: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -115,7 +126,37 @@ class SLAHead(nn.Module):
         else:
             tokens = jnp.zeros((n, steps), jnp.int32)
 
-        if self.use_gru:
+        aux_out = {}
+        if self.aux_count:
+            # learned-query attention pooling over spatial positions (one
+            # query per pooled slot; cheap relative to the 501-step decode)
+            pool_e = nn.Dense(2, use_bias=False, dtype=self.dtype,
+                              param_dtype=jnp.float32, name="count_pool")(
+                jnp.tanh(feats_proj)
+            )  # (N, HW, 2)
+            pool_a = nn.softmax(pool_e.astype(jnp.float32), axis=1).astype(
+                feats.dtype
+            )
+            pooled = jnp.einsum("nsk,nsc->nkc", pool_a, feats)  # (N, 2, C)
+            pooled = pooled.reshape(n, -1)
+            ch = nn.relu(
+                nn.Dense(self.hidden_size, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="count_fc")(pooled)
+            )
+            aux_out["row_logits"] = nn.Dense(
+                self.max_count, dtype=self.dtype, param_dtype=jnp.float32,
+                name="row_head",
+            )(ch).astype(jnp.float32)
+            aux_out["col_logits"] = nn.Dense(
+                self.max_count, dtype=self.dtype, param_dtype=jnp.float32,
+                name="col_head",
+            )(ch).astype(jnp.float32)
+            init_h = jnp.tanh(
+                nn.Dense(self.hidden_size, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="init_state")(ch)
+            ).astype(feats.dtype)
+            init_state = init_h if self.use_gru else (init_h, init_h)
+        elif self.use_gru:
             init_state = jnp.zeros((n, self.hidden_size), feats.dtype)
         else:
             init_state = (
@@ -147,4 +188,6 @@ class SLAHead(nn.Module):
 
         if not train:
             structure_preds = nn.softmax(structure_preds, axis=-1)
-        return {"structure_probs": structure_preds, "loc_preds": loc_preds}
+        out = {"structure_probs": structure_preds, "loc_preds": loc_preds}
+        out.update(aux_out)
+        return out

@@ -228,3 +228,72 @@ def test_sla_scheduled_sampling_and_label_smoothing():
     plain = SLALoss(1.0, 2.0)(preds, batch)
     smooth = SLALoss(1.0, 2.0, label_smoothing=0.1)(preds, batch)
     assert float(smooth["structure_loss"]) > float(plain["structure_loss"])
+
+
+def test_table_label_encode_row_col_counts():
+    """TableLabelEncode emits row_cnt (# closed <tr>) and col_cnt (first
+    row's column count, colspan-widened) for the SLAHead aux_count
+    supervision."""
+    from pytorchocr_tpu.data.imaug.label_ops import TableLabelEncode
+
+    op = TableLabelEncode(
+        max_text_length=MAX_LEN, character_dict_path=DICT_PATH,
+        merge_no_span_structure=True, loc_reg_num=8,
+    )
+    structure = ["<thead>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+                 "</thead>", "<tbody>", "<tr>", "<td></td>", "<td></td>",
+                 "</tr>", "<tr>", "<td></td>", "<td></td>", "</tr>",
+                 "</tbody>"]
+    cells = [{"tokens": []} for _ in range(6)]
+    out = op({"structure": structure, "cells": cells})
+    assert int(out["row_cnt"]) == 3
+    assert int(out["col_cnt"]) == 2
+
+    # colspan widens the first-row count: <td colspan="3"> + <td></td> = 4
+    structure2 = ["<tbody>", "<tr>", "<td", ' colspan="3"', ">",
+                  "<td></td>", "</tr>", "</tbody>"]
+    cells2 = [{"tokens": []} for _ in range(2)]
+    out2 = op({"structure": structure2, "cells": cells2})
+    assert int(out2["row_cnt"]) == 1
+    assert int(out2["col_cnt"]) == 4
+
+
+def test_sla_aux_count_branch():
+    """aux_count=True adds row/col-count logits and a count-conditioned
+    decoder init; SLALoss aux_count_weight>0 supervises them from
+    batch[4]/batch[5] (round-5 fix for the row/col miscount failure
+    mode)."""
+    from pytorchocr_tpu.losses.table_att_loss import SLALoss
+    from pytorchocr_tpu.modeling.heads.table_att_head import SLAHead
+
+    n, h, w, c, n_cls, T = 2, 4, 6, 16, 12, 10
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c))
+    structure = jax.random.randint(jax.random.PRNGKey(1), (n, T + 2), 0, n_cls)
+    data = [None, structure]
+
+    head = SLAHead(in_channels=c, hidden_size=24, out_channels=n_cls,
+                   max_text_length=T, aux_count=True)
+    v = head.init(jax.random.PRNGKey(2), x, targets=data, train=True)
+    out = head.apply(v, x, targets=data, train=True)
+    assert out["row_logits"].shape == (n, 32)
+    assert out["col_logits"].shape == (n, 32)
+    # eval mode emits them too (harmless extra keys for the postprocess)
+    out_e = head.apply(v, x, train=False)
+    assert out_e["row_logits"].shape == (n, 32)
+
+    preds = {
+        "structure_probs": out["structure_probs"],
+        "loc_preds": jnp.zeros((n, T + 1, 8)),
+        "row_logits": out["row_logits"],
+        "col_logits": out["col_logits"],
+    }
+    batch = [None, structure,
+             jnp.zeros((n, T + 2, 8), jnp.float32),
+             jnp.zeros((n, T + 2, 8), jnp.float32),
+             jnp.asarray([3, 5], jnp.int32),   # row_cnt
+             jnp.asarray([2, 4], jnp.int32)]   # col_cnt
+    plain = SLALoss(1.0, 2.0)(preds, batch)
+    with_aux = SLALoss(1.0, 2.0, aux_count_weight=1.0)(preds, batch)
+    assert "count_loss" in with_aux
+    assert np.isfinite(float(with_aux["count_loss"]))
+    assert float(with_aux["loss"]) > float(plain["loss"])

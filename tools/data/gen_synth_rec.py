@@ -30,36 +30,50 @@ def _rand_text(rng, lo=2, hi=10):
     return "".join(rng.choice(chars) for _ in range(rng.randint(lo, hi)))
 
 
-def render_line(rng, fonts):
+# rendering distributions (same scheme as gen_synth_det.py): "shifted" is
+# the held-out distribution-shift eval — fonts the base training
+# distribution never uses, lower-contrast mid-gray backgrounds, wider
+# size/rotation range, heavier blur/noise
+STYLES = {
+    "base": dict(px=(18, 26), bg=(215, 250), ink=(0, 80), rot=3.0,
+                 rot_p=0.4, blur_p=0.3, blur=(0.3, 0.8), noise=(2, 7)),
+    "shifted": dict(px=(14, 32), bg=(150, 200), ink=(30, 110), rot=8.0,
+                    rot_p=0.7, blur_p=0.5, blur=(0.4, 1.2), noise=(4, 10)),
+}
+
+
+def render_line(rng, fonts, style="base"):
+    st = STYLES[style]
     text = _rand_text(rng)
-    px = rng.randint(18, 26)
+    px = rng.randint(*st["px"])
     font = ImageFont.truetype(rng.choice(fonts), px)
     tmp = Image.new("L", (1, 1))
     bbox = ImageDraw.Draw(tmp).textbbox((0, 0), text, font=font)
     tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
     pad_x, pad_y = rng.randint(3, 10), rng.randint(2, 6)
-    bg = rng.randint(215, 250)
+    bg = rng.randint(*st["bg"])
     img = Image.new("L", (tw + 2 * pad_x, th + 2 * pad_y), bg)
-    ink = rng.randint(0, 80)
+    ink = rng.randint(*st["ink"])
     ImageDraw.Draw(img).text((pad_x - bbox[0], pad_y - bbox[1]), text,
                              font=font, fill=ink)
-    if rng.random() < 0.4:
-        img = img.rotate(rng.uniform(-3, 3), expand=False, fillcolor=bg,
-                         resample=Image.BICUBIC)
-    if rng.random() < 0.3:
-        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 0.8)))
+    if rng.random() < st["rot_p"]:
+        img = img.rotate(rng.uniform(-st["rot"], st["rot"]), expand=False,
+                         fillcolor=bg, resample=Image.BICUBIC)
+    if rng.random() < st["blur_p"]:
+        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(*st["blur"])))
     arr = np.asarray(img, np.float32)
     nprng = np.random.RandomState(rng.randint(0, 1 << 31))
-    arr = np.clip(arr + nprng.normal(0, rng.uniform(2, 7), arr.shape), 0, 255)
+    arr = np.clip(arr + nprng.normal(0, rng.uniform(*st["noise"]), arr.shape),
+                  0, 255)
     return Image.fromarray(arr.astype(np.uint8)).convert("RGB"), text
 
 
-def generate(out_dir, n, rng, fonts, split):
+def generate(out_dir, n, rng, fonts, split, style="base"):
     img_dir = os.path.join(out_dir, split)
     os.makedirs(img_dir, exist_ok=True)
     lines = []
     for i in range(n):
-        img, text = render_line(rng, fonts)
+        img, text = render_line(rng, fonts, style)
         path = os.path.abspath(os.path.join(img_dir, "%s_%05d.png" % (split, i)))
         img.save(path)
         lines.append("%s\t%s" % (path, text))
@@ -77,13 +91,18 @@ def main():
     ap.add_argument("--train", type=int, default=2000)
     ap.add_argument("--eval", type=int, default=500)
     ap.add_argument("--seed", type=int, default=2022)
+    ap.add_argument("--style", choices=["base", "shifted"], default="base",
+                    help="rendering distribution: base (training benchmark) "
+                    "or shifted (unseen fonts, low-contrast mid-gray "
+                    "backgrounds, wider size/rotation) for "
+                    "distribution-shift evaluation")
     args = ap.parse_args()
 
-    fonts = _fonts()
+    fonts = _fonts(args.style)
     rng = random.Random(args.seed)
     os.makedirs(args.out, exist_ok=True)
-    train_label = generate(args.out, args.train, rng, fonts, "train")
-    eval_label = generate(args.out, args.eval, rng, fonts, "eval")
+    train_label = generate(args.out, args.train, rng, fonts, "train", args.style)
+    eval_label = generate(args.out, args.eval, rng, fonts, "eval", args.style)
     print(json.dumps({"train_label": train_label, "eval_label": eval_label}))
 
 

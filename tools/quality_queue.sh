@@ -32,6 +32,9 @@ declare -A CFG=(
   [bigvocab]=configs/rec/rec_vgg_bilstm_ctc_bigvocab.yml
   [distill]=configs/det/distillation/det_distill_db_synth.yml
   [dml]=configs/det/distillation/det_dml_db_synth.yml
+  [repvgg]=configs/det/det_repvgg_db_synth.yml
+  [rec05]=configs/rec/rec_vgg05_bilstm_ctc_synth.yml
+  [recdml]=configs/rec/distillation/rec_dml_ctc_synth.yml
   # DML continuation: the teacher-free mode converges far slower than
   # the bootstrapped ones (0.58 hmean at the shared 40-epoch budget,
   # still climbing) — resume latest for 40 more epochs
@@ -44,6 +47,7 @@ declare -A OPTS=(
   [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [dmlx]="Global.epoch_num=80 Global.checkpoints=./output/quality/det_dml_db_synth/latest"
   [pan]="Global.epoch_num=35"
+  [dml]="Global.epoch_num=120 Global.eval_epoch_step=[25,5] Global.save_latest_epoch_step=5"
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
   [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60 Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
@@ -64,16 +68,26 @@ declare -A OUT=(
   [distill]=./output/quality/det_distill_db_synth
   [dml]=./output/quality/det_dml_db_synth
   [dmlx]=./output/quality/det_dml_db_synth
+  [repvgg]=./output/quality/det_repvgg_db_synth
+  [rec05]=./output/quality/rec_vgg05_bilstm_ctc_synth
+  [recdml]=./output/quality/rec_dml_ctc_synth
 )
 
 # det-family models additionally get a distribution-shift eval (unseen
 # fonts/contrast/rotation — gen_synth_det.py --style shifted) so the
 # saturated in-distribution benchmark is not the only published number.
 SHIFTED_EVAL=./train_data/synthdet_shifted/eval_label.txt
-declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1 [distill]=1 [dml]=1 [dmlx]=1)
+# rec-family distribution-shift eval (gen_synth_rec.py --style shifted:
+# unseen fonts, low contrast, wider rotation)
+SHIFTED_REC_EVAL=./train_data/synthrec_shifted/eval_label.txt
+declare -A IS_REC_SHIFT=([rec]=1 [starnet]=1 [rec05]=1)
+# expanded n=300 table eval set (seed 7077): binomial noise at n=100 is
+# +-0.09 on exact-match — too coarse to measure the aux-count fix
+TABLE_EVAL300=./train_data/synthtable_eval300/eval_label.jsonl
+declare -A IS_DET=([db]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [cml]=1 [distill]=1 [dml]=1 [dmlx]=1 [repvgg]=1)
 # models whose QUALITY.md rows publish an int8-PTQ column (every det
 # family, so the "int8 is accuracy-neutral" claim covers the zoo)
-declare -A WANT_INT8=([db]=1 [rec]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1)
+declare -A WANT_INT8=([db]=1 [rec]=1 [pan]=1 [pse]=1 [dbpp]=1 [mbv3]=1 [starnet]=1)
 
 run_one() {
   local name=$1 cfg=${CFG[$1]} out=${OUT[$1]}
@@ -122,6 +136,34 @@ run_one() {
     echo "eval-shifted $name rc=$?" >> "$SUMMARY"
     cp "/tmp/q_${name}.eval_shifted.log" "$out/eval_shifted.log"
     grep -h -A6 "metric eval" "/tmp/q_${name}.eval_shifted.log" | tail -7 >> "$SUMMARY"
+  fi
+  if [ -n "${IS_REC_SHIFT[$name]}" ] && [ -f "$SHIFTED_REC_EVAL" ]; then
+    echo "=== $(date +%H:%M:%S) EVAL $name (rec shifted) ===" >> "$SUMMARY"
+    for attempt in 1 2; do
+      timeout 900 python tools/eval.py -c "$cfg" \
+        -o Global.checkpoints="$ck" \
+           Global.metric_json="$out/RESULT_shifted.json" \
+           Eval.dataset.label_file_list="[$SHIFTED_REC_EVAL]" \
+        > "/tmp/q_${name}.eval_shifted.log" 2>&1 && break
+      sleep 20
+    done
+    echo "eval-rec-shifted $name rc=$?" >> "$SUMMARY"
+    cp "/tmp/q_${name}.eval_shifted.log" "$out/eval_shifted.log"
+    grep -h -A6 "metric eval" "/tmp/q_${name}.eval_shifted.log" | tail -7 >> "$SUMMARY"
+  fi
+  if [ "$name" = table ] && [ -f "$TABLE_EVAL300" ]; then
+    echo "=== $(date +%H:%M:%S) EVAL $name (eval300) ===" >> "$SUMMARY"
+    for attempt in 1 2; do
+      timeout 1200 python tools/eval.py -c "$cfg" \
+        -o Global.checkpoints="$ck" \
+           Global.metric_json="$out/RESULT_eval300.json" \
+           Eval.dataset.label_file_list="[$TABLE_EVAL300]" \
+        > "/tmp/q_${name}.eval300.log" 2>&1 && break
+      sleep 20
+    done
+    echo "eval300 $name rc=$?" >> "$SUMMARY"
+    cp "/tmp/q_${name}.eval300.log" "$out/eval300.log"
+    grep -h -A6 "metric eval" "/tmp/q_${name}.eval300.log" | tail -7 >> "$SUMMARY"
   fi
   if [ -n "${WANT_INT8[$name]}" ]; then
     echo "=== $(date +%H:%M:%S) EVAL $name (int8 PTQ) ===" >> "$SUMMARY"
