@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--spd", type=int, default=1,
                     help="optimizer steps per device dispatch (lax.scan)")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--s2d", action="store_true",
+                    help="stem_space_to_depth backbone variant (the "
+                    "conv-backprop experiment, bench_bwd_stages.py)")
     ap.add_argument("--mfu", action="store_true",
                     help="print XLA cost-analysis FLOPs and bf16-peak MFU")
     ap.add_argument("--xla", action="append", default=[],
@@ -78,7 +81,8 @@ def main():
             "model_type": "det",
             "algorithm": "DB",
             "Transform": None,
-            "Backbone": {"name": "ResNet", "layers": 18},
+            "Backbone": {"name": "ResNet", "layers": 18,
+                         "stem_space_to_depth": args.s2d},
             "Neck": {"name": "FPN", "out_channels": 256, "mode": "DB"},
             "Head": {"name": "DBHead", "k": 50},
         },
@@ -110,6 +114,8 @@ def main():
     )
     if args.remat:
         label += " remat"
+    if args.s2d:
+        label += " s2d"
 
     if args.mode == "full":
         if args.spd > 1:

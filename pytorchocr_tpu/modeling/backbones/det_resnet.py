@@ -88,6 +88,16 @@ class ResNet(nn.Module):
     layers: int = 18
     mode_3x3: bool = False
     dilation_last: bool = False  # dilate stage 4 instead of striding
+    # space-to-depth stem (the MLPerf-ResNet TPU optimization): express
+    # the 7x7/s2 stem as a 4x4/s1 conv over a 2x2-packed input
+    # (N,H/2,W/2,4*Cin).  Same function class (a 7x7 filter zero-padded
+    # to 8x8 repacks exactly into 4x4 x 4Cin), but stride-1 with a
+    # channel count that tiles the MXU instead of Cin=3 — targets the
+    # stem's conv-backprop kernels, the worst stride-boundary gradient
+    # case (benchmarks/bench_bwd_stages.py).  Param shape differs from
+    # the torch stem, so pretrained ingestion requires repacking; off by
+    # default for checkpoint compatibility.
+    stem_space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -107,6 +117,16 @@ class ResNet(nn.Module):
             x = ConvBNAct(32, 3, 2, act="relu", dtype=self.dtype, name="stem1")(x, train)
             x = ConvBNAct(32, 3, 1, act="relu", dtype=self.dtype, name="stem2")(x, train)
             x = ConvBNAct(64, 3, 1, act="relu", dtype=self.dtype, name="stem3")(x, train)
+        elif self.stem_space_to_depth:
+            n, h, w, c = x.shape
+            x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+            # 4x4/s1 with pad (2,1): packed pixels o-2..o+1 cover raw
+            # columns 2o-4..2o+3 ⊇ the 7x7/s2 receptive field 2o-3..2o+3
+            x = ConvBNAct(
+                64, 4, 1, padding=[(2, 1), (2, 1)], act="relu",
+                dtype=self.dtype, emit_q=True, name="stem_s2d",
+            )(x, train)
         else:
             x = ConvBNAct(
                 64, 7, 2, padding=3, act="relu", dtype=self.dtype,

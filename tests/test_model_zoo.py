@@ -51,6 +51,25 @@ def test_det_backbone_fpn_db(backbone):
     assert out["maps"].shape == (1, 64, 64, 1)
 
 
+def test_resnet_stem_space_to_depth():
+    """stem_space_to_depth keeps the DB pyramid contract: same output
+    shapes as the 7x7/s2 stem (the packed 4x4/s1 conv halves resolution
+    via the space-to-depth reshape instead of the stride)."""
+    base = {
+        "model_type": "det",
+        "algorithm": "DB",
+        "Transform": None,
+        "Neck": {"name": "FPN", "out_channels": 32, "mode": "DB"},
+        "Head": {"name": "DBHead", "k": 50},
+    }
+    out_raw = _forward(
+        {**base, "Backbone": {"name": "ResNet", "layers": 18}}, (1, 64, 64, 3))
+    out_s2d = _forward(
+        {**base, "Backbone": {"name": "ResNet", "layers": 18,
+                              "stem_space_to_depth": True}}, (1, 64, 64, 3))
+    assert out_s2d["maps"].shape == out_raw["maps"].shape
+
+
 def test_swin_backbone():
     cfg = {
         "model_type": "det",
