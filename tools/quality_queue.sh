@@ -47,9 +47,12 @@ declare -A OPTS=(
   [bigvocab]="Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [dmlx]="Global.epoch_num=80 Global.checkpoints=./output/quality/det_dml_db_synth/latest"
   [pan]="Global.epoch_num=35"
-  [dml]="Global.epoch_num=120 Global.eval_epoch_step=[25,5] Global.save_latest_epoch_step=5"
+  [dml]="Global.epoch_num=60 Global.eval_epoch_step=[25,5] Global.save_latest_epoch_step=5"
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
+  [repvgg]="Global.epoch_num=20"
+  [rec05]="Global.epoch_num=150 Global.eval_epoch_step=[60,10]"
+  [recdml]="Global.epoch_num=150 Global.eval_epoch_step=[60,10] Global.save_latest_epoch_step=5"
   [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60 Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [table]="Global.epoch_num=100 Global.eval_epoch_step=[40,10]"
 )
