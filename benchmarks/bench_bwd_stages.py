@@ -110,28 +110,35 @@ def main():
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
+        ct = jnp.asarray(rng.rand(N, Ho, Wo, cout), jnp.bfloat16)
+
+        # the gradient kernels in isolation, via the SAME machinery the
+        # train step uses (jax.grad -> XLA's conv-backprop lowering).
+        # d<conv(x,w), ct>/dx = conv_T(ct, w) does not depend on x, so the
+        # fori_loop must perturb the COTANGENT ct — perturbing x (as the
+        # fwd loop does) lets XLA hoist the whole gradient out of the loop
+        # and time nothing (measured: exactly that, 0.000 ms).
         fwd = _timed_loop(
             lambda x, w: conv(x, w).astype(jnp.float32).mean(), (x, w),
             args.iters)
-        # d/dinput: cotangent at the output, gradient pulled to x
         din = _timed_loop(
-            lambda x, w: jax.grad(
-                lambda xx: conv(xx, w).astype(jnp.float32).sum())(x)
-            .astype(jnp.float32).mean(), (x, w), args.iters)
+            lambda ct, w: jax.grad(
+                lambda xx: jnp.vdot(conv(xx, w).astype(jnp.float32),
+                                    ct.astype(jnp.float32)))(x)
+            .astype(jnp.float32).mean(), (ct, w), args.iters)
         dfl = _timed_loop(
-            lambda x, w: jax.grad(
-                lambda ww: conv(x, ww).astype(jnp.float32).sum())(w)
-            .astype(jnp.float32).mean(), (x, w), args.iters)
-        # grad-of-sum runs fwd+bwd; subtract the measured fwd to isolate
-        din_only, dfl_only = max(din - fwd, 1e-9), max(dfl - fwd, 1e-9)
+            lambda ct, x_: jax.grad(
+                lambda ww: jnp.vdot(conv(x_, ww).astype(jnp.float32),
+                                    ct.astype(jnp.float32)))(w)
+            .astype(jnp.float32).mean(), (ct, x), args.iters)
         tf = lambda t: gflop / t / 1e3
-        rows.append((name, gflop, fwd, din_only, dfl_only))
+        rows.append((name, gflop, fwd, din, dfl))
         print("%-18s %8.1f %8.1f %8.1f    %5.1f %5.1f %5.1f   (%.3f/%.3f/%.3f)"
-              % (name, tf(fwd), tf(din_only), tf(dfl_only),
+              % (name, tf(fwd), tf(din), tf(dfl),
                  100 * tf(fwd) / V5E_BF16_PEAK_TFLOPS,
-                 100 * tf(din_only) / V5E_BF16_PEAK_TFLOPS,
-                 100 * tf(dfl_only) / V5E_BF16_PEAK_TFLOPS,
-                 fwd * 1e3, din_only * 1e3, dfl_only * 1e3))
+                 100 * tf(din) / V5E_BF16_PEAK_TFLOPS,
+                 100 * tf(dfl) / V5E_BF16_PEAK_TFLOPS,
+                 fwd * 1e3, din * 1e3, dfl * 1e3))
 
     # ---- space-to-depth stem experiment -------------------------------
     print("\nspace-to-depth stem (stem conv + 3x3/s2 maxpool, fwd+bwd):")

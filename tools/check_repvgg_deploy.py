@@ -1,0 +1,103 @@
+"""Verify RepVGG structural-reparameterization equivalence on a TRAINED
+checkpoint (reference det_repvgg.py switch_to_deploy / the `deploy` config
+flag): load the train-form params, fold every block's dense-3x3 + 1x1 +
+identity-BN branches into single reparam convs
+(modeling/backbones/det_repvgg.reparameterize_params), and compare the
+full DB model's output maps on real eval pages.
+
+The unit-scale proof lives in tests/test_model_zoo.py::test_repvgg_reparam
+(random init, tiny shapes); this tool closes the round-4 gap of never
+having run the fold on trained weights at full resolution.
+
+Usage:
+  python tools/check_repvgg_deploy.py -c configs/det/det_repvgg_db_synth.yml \
+      -o Global.checkpoints=./output/quality/det_repvgg_db_synth/best_accuracy \
+         Global.device_normalize=False
+(device_normalize=False keeps the Normalize op in the eval chain so the
+models see the trained input distribution; parity is checked on the
+model outputs either way.)
+"""
+
+import os
+import sys
+
+import numpy as np
+
+__dir__ = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.abspath(os.path.join(__dir__, "..")))
+
+import jax
+import jax.numpy as jnp
+
+from tools import program
+from pytorchocr_tpu.data import build_dataloader
+from pytorchocr_tpu.modeling import build_model
+from pytorchocr_tpu.modeling.backbones.det_repvgg import reparameterize_params
+from pytorchocr_tpu.optimizer import build_optimizer
+from pytorchocr_tpu.trainer import create_train_state, make_eval_step
+from pytorchocr_tpu.parallel.mesh import create_mesh
+from pytorchocr_tpu.utils.save_load import load_model
+
+
+def main():
+    config, _rng, logger, _tsb = program.preprocess(is_train=False)
+    global_config = config["Global"]
+
+    valid_dataloader, _ = build_dataloader(
+        config, "Eval", logger, seed=global_config.get("seed")
+    )
+
+    dtype = jnp.bfloat16 if global_config.get("use_amp", False) else jnp.float32
+    model = build_model(config["Architecture"], dtype=dtype)
+    tx, _ = build_optimizer(config["Optimizer"], epochs=1, step_each_epoch=1)
+
+    batch = next(iter(valid_dataloader))
+    mesh = create_mesh()
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state, _ = load_model(config, state, logger)
+
+    # deploy-form model: same architecture with Backbone.deploy=True
+    arch = jax.tree.map(lambda x: x, config["Architecture"])  # deep-ish copy
+    arch["Backbone"] = dict(arch["Backbone"])
+    arch["Backbone"]["deploy"] = True
+    deploy_model = build_model(arch, dtype=dtype)
+
+    deploy_params = dict(state.params)
+    deploy_params["backbone"] = reparameterize_params(
+        state.params["backbone"], state.batch_stats.get("backbone", {})
+    )
+    deploy_stats = {k: v for k, v in state.batch_stats.items() if k != "backbone"}
+
+    eval_train_form = make_eval_step(model, mesh)
+    eval_deploy_form = make_eval_step(deploy_model, mesh)
+
+    n, max_abs, max_rel = 0, 0.0, 0.0
+    for i, b in enumerate(valid_dataloader):
+        if i >= int(global_config.get("deploy_check_batches", 4)):
+            break
+        images = jnp.asarray(np.asarray(b[0]))
+        out_t = eval_train_form(state.params, state.batch_stats, images)
+        out_d = eval_deploy_form(deploy_params, deploy_stats, images)
+        a = np.asarray(out_t["maps"], np.float32)
+        d = np.asarray(out_d["maps"], np.float32)
+        max_abs = max(max_abs, float(np.max(np.abs(a - d))))
+        denom = np.maximum(np.abs(a), 1e-3)
+        max_rel = max(max_rel, float(np.max(np.abs(a - d) / denom)))
+        n += 1
+
+    # bf16 compute: the fold reorders float ops, so exact equality is not
+    # expected; the sigmoid prob maps must agree to well under the
+    # postprocess threshold granularity (thresh=0.3 bins)
+    tol = float(global_config.get("deploy_check_tol", 0.02))
+    ok = max_abs <= tol
+    logger.info(
+        "repvgg deploy-parity on trained ckpt: %d batches, "
+        "max|prob_train - prob_deploy| = %.5f (rel %.4f), tol %.3f -> %s",
+        n, max_abs, max_rel, tol, "OK" if ok else "FAIL",
+    )
+    print("REPVGG_DEPLOY_PARITY %s max_abs=%.5f" % ("OK" if ok else "FAIL", max_abs))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
