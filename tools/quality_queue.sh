@@ -51,8 +51,13 @@ declare -A OPTS=(
   [dbpp]="Global.epoch_num=40"
   [pse]="Global.epoch_num=40"
   [repvgg]="Global.epoch_num=20"
-  [rec05]="Global.epoch_num=150 Global.eval_epoch_step=[60,10]"
-  [recdml]="Global.epoch_num=150 Global.eval_epoch_step=[60,10] Global.save_latest_epoch_step=5"
+  # the full 300-epoch CRNN protocol (rec_vgg_bilstm_ctc_synth.yml) so
+  # the three-way table — full-width CRNN / half-width student-alone /
+  # half-width DML pair — shares one schedule; a 100-ep trim died inside
+  # the CTC all-blank plateau (half-width students break through later
+  # than full-width, and WarmupPolyLR had annealed to ~0.0005 by ep 50)
+  [rec05]="Global.epoch_num=300 Global.eval_epoch_step=[60,10] Global.steps_per_dispatch=5"
+  [recdml]="Global.epoch_num=300 Global.eval_epoch_step=[60,10] Global.steps_per_dispatch=5 Global.save_latest_epoch_step=10"
   [starnet]="Global.epoch_num=250 Global.freeze_transform_epochs=60 Global.steps_per_dispatch=5 Global.save_latest_epoch_step=5"
   [table]="Global.epoch_num=100 Global.eval_epoch_step=[40,10]"
 )
